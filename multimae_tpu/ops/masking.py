@@ -1,0 +1,144 @@
+"""Dirichlet task-sampled token masking, as a pure shape-static function.
+
+Reimplements the sampling semantics of the reference
+(multimae/multimae.py:148-218) as a pure function of a PRNG key so it can
+live INSIDE the jitted train step (the reference runs it eagerly on GPU):
+
+  1. Per-sample task proportions ~ Dirichlet(alphas); optionally the task
+     subset is first drawn uniformly from the 2^n - 1 non-empty subsets
+     (`sample_tasks_uniformly`, reference :148-162).
+  2. Per task, `round(p_i * num_encoded_tokens)` tokens are kept at
+     uniformly random positions (argsort-of-noise shuffle, :193-201).
+  3. A global shuffle keyed on (mask, noise) picks exactly
+     `num_encoded_tokens` visible tokens, correcting rounding (:203-216).
+
+All shapes are static: B, the per-task token counts, and the number of
+encoded tokens are Python ints; only values are traced.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Dict, List, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_alphas(
+    key: jax.Array,
+    batch: int,
+    n_tasks: int,
+    alphas: Union[float, Sequence[float]] = 1.0,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Uniformly choose a non-empty task subset per sample, scale by alphas.
+
+    Reference: multimae/multimae.py:148-162.
+    """
+    choices = jnp.asarray(
+        [list(c) for c in itertools.product([0, 1], repeat=n_tasks)][1:],
+        dtype=jnp.float32,
+    )
+    idx = jax.random.randint(key, (batch,), 0, choices.shape[0])
+    alphas_arr = jnp.asarray(
+        [alphas] * n_tasks if isinstance(alphas, (int, float)) else list(alphas),
+        dtype=jnp.float32,
+    )
+    return choices[idx] * alphas_arr + eps
+
+
+def dirichlet_task_proportions(
+    key: jax.Array,
+    batch: int,
+    n_tasks: int,
+    alphas: Union[float, Sequence[float]] = 1.0,
+    sample_tasks_uniformly: bool = False,
+) -> jnp.ndarray:
+    """(B, n_tasks) rows on the simplex."""
+    if sample_tasks_uniformly:
+        k1, k2 = jax.random.split(key)
+        alpha_mat = sample_alphas(k1, batch, n_tasks, alphas)
+        # Dirichlet via normalized Gammas supports per-sample concentrations.
+        gammas = jax.random.gamma(k2, alpha_mat)
+        return gammas / jnp.sum(gammas, axis=-1, keepdims=True)
+    alphas_arr = jnp.asarray(
+        [alphas] * n_tasks if isinstance(alphas, (int, float)) else list(alphas),
+        dtype=jnp.float32,
+    )
+    return jax.random.dirichlet(key, alphas_arr, shape=(batch,))
+
+
+def generate_random_masks(
+    key: jax.Array,
+    batch: int,
+    num_tokens_per_task: Sequence[int],
+    num_encoded_tokens: int,
+    alphas: Union[float, Sequence[float]] = 1.0,
+    sample_tasks_uniformly: bool = False,
+) -> Tuple[List[jnp.ndarray], jnp.ndarray, jnp.ndarray]:
+    """Sample visible-token ids across tasks.
+
+    Returns:
+      task_masks: list of (B, n_t) int32 masks per task; 0 = visible, 1 = masked.
+      ids_keep:   (B, num_encoded_tokens) indices into the concatenated
+                  token sequence (visible tokens).
+      ids_restore:(B, N) inverse shuffle permutation.
+
+    Reference: multimae/multimae.py:164-218.
+    """
+    n_tasks = len(num_tokens_per_task)
+    total = int(sum(num_tokens_per_task))
+    k_dir, k_shuffle, k_tie = jax.random.split(key, 3)
+
+    props = dirichlet_task_proportions(
+        k_dir, batch, n_tasks, alphas, sample_tasks_uniformly
+    )
+    samples_per_task = jnp.round(props * num_encoded_tokens).astype(jnp.int32)
+
+    per_task_keys = jax.random.split(k_shuffle, n_tasks)
+    task_masks = []
+    for i, n_t in enumerate(num_tokens_per_task):
+        noise = jax.random.uniform(per_task_keys[i], (batch, n_t))
+        # argsort of noise is a uniform random permutation; positions whose
+        # permuted rank value < samples_per_task are kept (reference :195-201).
+        perm = jnp.argsort(noise, axis=1).astype(jnp.int32)
+        mask = jnp.where(perm < samples_per_task[:, i : i + 1], 0, 1).astype(jnp.int32)
+        task_masks.append(mask)
+
+    mask_all = jnp.concatenate(task_masks, axis=1)
+    tie_noise = jax.random.uniform(k_tie, (batch, total))
+    ids_shuffle = jnp.argsort(mask_all.astype(jnp.float32) + tie_noise, axis=1).astype(
+        jnp.int32
+    )
+    ids_restore = jnp.argsort(ids_shuffle, axis=1).astype(jnp.int32)
+    ids_keep = ids_shuffle[:, :num_encoded_tokens]
+
+    # Correct the binary mask so exactly num_encoded_tokens are visible
+    # (reference :209-216).
+    ranks = ids_restore  # rank of each original position in the shuffle
+    mask_all = jnp.where(ranks < num_encoded_tokens, 0, 1).astype(jnp.int32)
+    out_masks = []
+    start = 0
+    for n_t in num_tokens_per_task:
+        out_masks.append(mask_all[:, start : start + n_t])
+        start += n_t
+    return out_masks, ids_keep, ids_restore
+
+
+def masks_to_indices(
+    task_masks: Dict[str, jnp.ndarray], num_encoded_tokens: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Derive (ids_keep, ids_restore) from user-supplied binary masks.
+
+    The visible count must be static; callers pass `num_encoded_tokens`
+    explicitly (the reference infers it from `(mask == 0).sum()`,
+    multimae/multimae.py:334-338, which is data-dependent and thus not
+    jittable — semantics are identical when the masks have exactly that
+    many zeros).
+    """
+    mask_all = jnp.concatenate(list(task_masks.values()), axis=1)
+    ids_shuffle = jnp.argsort(mask_all, axis=1, stable=True).astype(jnp.int32)
+    ids_restore = jnp.argsort(ids_shuffle, axis=1, stable=True).astype(jnp.int32)
+    ids_keep = ids_shuffle[:, :num_encoded_tokens]
+    return ids_keep, ids_restore
