@@ -1,0 +1,317 @@
+"""ViT primitives: Mlp, Attention, CrossAttention, Block, DecoderBlock.
+
+Behavioural parity targets (reference: multimae/multimae_utils.py):
+  * Mlp            — :138-155 (fc1 -> GELU(exact) -> fc2 -> dropout)
+  * Attention      — :158-182 (fused qkv, scale = head_dim**-0.5)
+  * CrossAttention — :185-214 (q from queries, fused kv from context)
+  * Block          — :217-232 (pre-LN, residual, optional DropPath)
+  * DecoderBlock   — :235-253 (self-attn + cross-attn + MLP)
+  * DropPath       — :105-135 (per-sample stochastic depth)
+
+TPU-first design choices:
+  * Computation dtype is configurable (bfloat16 by default in training);
+    parameters stay float32. LayerNorm statistics and attention softmax
+    run in float32 for stability (this mirrors what AMP autocast does in
+    the reference).
+  * qkv / kv projections stay fused (one MXU matmul each).
+  * Attention is einsum-based; XLA fuses scale+softmax. A Pallas flash
+    kernel can be swapped in via `multimae_tpu.ops.attention` for long
+    sequences (512px fine-tuning).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = jnp.dtype
+
+LAYERNORM_EPS = 1e-6
+
+
+def qkv_fused_init(num_fused: int) -> Callable:
+    """Per-Q/K/V fan-in uniform init for fused projections.
+
+    Matches the reference's special-casing of 'qkv'/'kv' linear weights
+    (multimae/multimae.py:101-110): torch weight (num_fused*dim, dim) gets
+    U(-val, val) with val = sqrt(6 / (dim + dim)). Our kernel layout is
+    (in_dim, num_fused*out_dim).
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        in_dim = shape[0]
+        out_per = shape[1] // num_fused
+        val = math.sqrt(6.0 / float(out_per + in_dim))
+        return jax.random.uniform(key, shape, dtype, -val, val)
+
+    return init
+
+
+xavier_uniform = nn.initializers.xavier_uniform()
+trunc_normal_02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+
+
+def drop_path(
+    x: jnp.ndarray,
+    rate: float,
+    deterministic: bool,
+    rng: Optional[jax.Array],
+) -> jnp.ndarray:
+    """Per-sample stochastic depth (reference multimae_utils.py:105-120)."""
+    if rate == 0.0 or deterministic:
+        return x
+    keep_prob = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep_prob + jax.random.uniform(rng, shape, dtype=jnp.float32))
+    return (x / keep_prob * mask.astype(x.dtype)).astype(x.dtype)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics regardless of compute dtype."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.LayerNorm(
+            epsilon=LAYERNORM_EPS,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="ln",
+        )(x.astype(jnp.float32))
+        return out.astype(self.dtype)
+
+
+class Mlp(nn.Module):
+    hidden_features: int
+    out_features: Optional[int] = None
+    drop: float = 0.0
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = xavier_uniform
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        out_features = self.out_features or x.shape[-1]
+        x = nn.Dense(
+            self.hidden_features,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=self.kernel_init,
+            bias_init=nn.initializers.zeros,
+            name="fc1",
+        )(x)
+        # Exact (erf) GELU — torch nn.GELU default.
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(
+            out_features,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=self.kernel_init,
+            bias_init=nn.initializers.zeros,
+            name="fc2",
+        )(x)
+        if self.drop > 0.0:
+            x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+def _attention_core(q, k, v, scale: float, dtype) -> jnp.ndarray:
+    """Softmax attention with fp32 logits/softmax.
+
+    q,k,v: (B, H, N, Dh). Returns (B, H, N, Dh) in `dtype`.
+    """
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    logits = logits.astype(jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhnm,bhmd->bhnd", probs.astype(dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(dtype)
+
+
+class Attention(nn.Module):
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, n, c = x.shape
+        head_dim = c // self.num_heads
+        scale = head_dim**-0.5
+        qkv = nn.Dense(
+            3 * c,
+            use_bias=self.qkv_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=qkv_fused_init(3),
+            bias_init=nn.initializers.zeros,
+            name="qkv",
+        )(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = (
+            jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)
+        )  # each (B, H, N, Dh)
+        out = _attention_core(q, k, v, scale, self.dtype)
+        if self.attn_drop > 0.0:
+            # Dropout on attention probabilities is folded into the core
+            # only when needed; reference defaults to 0 in all recipes.
+            raise NotImplementedError("attn_drop > 0 is not used by any recipe")
+        out = jnp.moveaxis(out, 1, 2).reshape(b, n, c)
+        out = nn.Dense(
+            c,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=xavier_uniform,
+            bias_init=nn.initializers.zeros,
+            name="proj",
+        )(out)
+        if self.proj_drop > 0.0:
+            out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class CrossAttention(nn.Module):
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, deterministic: bool = True):
+        b, n, c = x.shape
+        m = context.shape[1]
+        head_dim = c // self.num_heads
+        scale = head_dim**-0.5
+        q = nn.Dense(
+            c,
+            use_bias=self.qkv_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=xavier_uniform,
+            bias_init=nn.initializers.zeros,
+            name="q",
+        )(x)
+        kv = nn.Dense(
+            2 * c,
+            use_bias=self.qkv_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=qkv_fused_init(2),
+            bias_init=nn.initializers.zeros,
+            name="kv",
+        )(context)
+        q = jnp.moveaxis(q.reshape(b, n, self.num_heads, head_dim), 1, 2)
+        kv = kv.reshape(b, m, 2, self.num_heads, head_dim)
+        k, v = (jnp.moveaxis(kv[:, :, i], 1, 2) for i in range(2))
+        out = _attention_core(q, k, v, scale, self.dtype)
+        out = jnp.moveaxis(out, 1, 2).reshape(b, n, c)
+        out = nn.Dense(
+            c,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=xavier_uniform,
+            bias_init=nn.initializers.zeros,
+            name="proj",
+        )(out)
+        if self.proj_drop > 0.0:
+            out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class Block(nn.Module):
+    """Pre-LN ViT block (reference multimae_utils.py:217-232)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        dim = x.shape[-1]
+
+        def maybe_drop_path(h):
+            if self.drop_path_rate > 0.0 and not deterministic:
+                rng = self.make_rng("dropout")
+                return drop_path(h, self.drop_path_rate, deterministic, rng)
+            return h
+
+        h = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = Attention(
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            dtype=self.dtype,
+            name="attn",
+        )(h, deterministic=deterministic)
+        x = x + maybe_drop_path(h)
+        h = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = Mlp(
+            hidden_features=int(dim * self.mlp_ratio),
+            drop=self.drop,
+            dtype=self.dtype,
+            name="mlp",
+        )(h, deterministic=deterministic)
+        x = x + maybe_drop_path(h)
+        return x
+
+
+class DecoderBlock(nn.Module):
+    """Self-attn + cross-attn + MLP (reference multimae_utils.py:235-253)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, deterministic: bool = True):
+        dim = x.shape[-1]
+
+        def maybe_drop_path(h):
+            if self.drop_path_rate > 0.0 and not deterministic:
+                rng = self.make_rng("dropout")
+                return drop_path(h, self.drop_path_rate, deterministic, rng)
+            return h
+
+        h = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = Attention(
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            dtype=self.dtype,
+            name="self_attn",
+        )(h, deterministic=deterministic)
+        x = x + maybe_drop_path(h)
+        q = LayerNorm(dtype=self.dtype, name="query_norm")(x)
+        ctx = LayerNorm(dtype=self.dtype, name="context_norm")(context)
+        h = CrossAttention(
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            dtype=self.dtype,
+            name="cross_attn",
+        )(q, ctx, deterministic=deterministic)
+        x = x + maybe_drop_path(h)
+        h = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = Mlp(
+            hidden_features=int(dim * self.mlp_ratio),
+            drop=self.drop,
+            dtype=self.dtype,
+            name="mlp",
+        )(h, deterministic=deterministic)
+        x = x + maybe_drop_path(h)
+        return x
