@@ -117,7 +117,24 @@ class FeatureFusionBlock(nn.Module):
     align_corners: bool = True
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        # Both units are created unconditionally so the param tree matches
+        # the reference checkpoints even for the top fusion block, whose
+        # resConfUnit1 exists but is never called (reference :227-239 with
+        # a single input at :751).
+        self.resConfUnit1 = ResidualConvUnit(
+            self.features, use_bn=self.use_bn, dtype=self.dtype
+        )
+        self.resConfUnit2 = ResidualConvUnit(
+            self.features, use_bn=self.use_bn, dtype=self.dtype
+        )
+        self.out_conv = nn.Conv(
+            self.features,
+            kernel_size=(1, 1),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -126,21 +143,11 @@ class FeatureFusionBlock(nn.Module):
     ) -> jnp.ndarray:
         out = x
         if res is not None:
-            out = out + ResidualConvUnit(
-                self.features, use_bn=self.use_bn, dtype=self.dtype, name="resConfUnit1"
-            )(res, train=train)
-        out = ResidualConvUnit(
-            self.features, use_bn=self.use_bn, dtype=self.dtype, name="resConfUnit2"
-        )(out, train=train)
+            out = out + self.resConfUnit1(res, train=train)
+        out = self.resConfUnit2(out, train=train)
         h, w = out.shape[-3], out.shape[-2]
         out = interpolate_2d(
             out, (2 * h, 2 * w), mode="bilinear", align_corners=self.align_corners
         )
-        out = nn.Conv(
-            self.features,
-            kernel_size=(1, 1),
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="out_conv",
-        )(out)
+        out = self.out_conv(out)
         return out

@@ -1,0 +1,85 @@
+"""Device mesh construction and data-parallel sharding helpers.
+
+Replaces the reference's torch.distributed/NCCL runtime (utils/dist.py):
+there is no user-level collective code — we build a `jax.sharding.Mesh`,
+annotate shardings, and XLA emits the gradient psums over ICI/DCN inside
+the jitted train step.
+
+Axes:
+  * 'data'  — batch sharding (the reference's only parallelism, DDP;
+              utils/dist.py:87-92)
+  * 'model' — optional tensor-parallel axis (not required for parity;
+              reserved so fsdp/tp variants can slot in without API churn)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """1-D data mesh by default; optionally 2-D (data, model)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch tensors: leading dim sharded over 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a host batch onto the mesh, sharded along the batch dim."""
+    sharding = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sharding = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    """rank-0 gating (reference utils/dist.py:46-59)."""
+    return jax.process_index() == 0
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """Each host feeds its slice of the global batch (replaces
+    DistributedSampler sharding, reference run_pretraining_multimae.py:341)."""
+    per_host = global_batch // jax.process_count()
+    start = jax.process_index() * per_host
+    return slice(start, start + per_host)
+
+
+def initialize_distributed():
+    """Multi-host init (no-op single-host). Mirrors
+    utils/dist.py:62-93's rank bootstrap, TPU-style."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()

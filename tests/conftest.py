@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# The env var alone is not enough if a pytest plugin imported jax before
+# this conftest ran (the config default is captured at import time).
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 
@@ -44,3 +50,22 @@ requires_reference = pytest.mark.skipif(
     not (reference_available() and _torch_available()),
     reason="reference repo or torch unavailable",
 )
+
+
+def install_reference_import_shim():
+    """Make `import multimae.*` from /root/reference work without its heavy
+    deps: register a stub `utils` package (same __path__, __init__ NOT
+    executed) so `from utils.registry import register_model` resolves to
+    the real submodule while skipping utils/__init__.py's torchvision/
+    wandb imports."""
+    import types
+
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    if "utils" not in sys.modules or not getattr(
+        sys.modules["utils"], "__reference_shim__", False
+    ):
+        pkg = types.ModuleType("utils")
+        pkg.__path__ = [os.path.join(REFERENCE_DIR, "utils")]
+        pkg.__reference_shim__ = True
+        sys.modules["utils"] = pkg
