@@ -1,0 +1,144 @@
+"""Jitted pretraining train step (reference: run_pretraining_multimae.py:458-578).
+
+Everything the reference does per step on the host/GPU boundary happens
+INSIDE one jitted function here: truncated depth standardisation, the
+Dirichlet masking, the masked forward, per-task losses, uncertainty
+balancing, grad computation, clip/skip-on-norm, and the optimizer update.
+Under a data mesh, XLA inserts the gradient all-reduce (the reference's
+DDP backward hook) automatically.
+
+bf16 note: the model computes in bfloat16 (dtype arg at construction);
+losses and gradients accumulate in float32. No loss scaler is needed on
+TPU — we keep the reference's clip_grad / skip_grad semantics
+(utils/native_scaler.py:14-46) without the fp16 scaling machinery.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from multimae_tpu.train.train_state import TrainState
+
+
+def standardize_depth(depth: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Truncated per-sample standardisation: drop bottom/top 10% of values,
+    standardise by the middle 80%'s mean/var
+    (reference run_pretraining_multimae.py:488-492). NHWC."""
+    b = depth.shape[0]
+    flat = depth.reshape(b, -1)
+    n = flat.shape[1]
+    sorted_flat = jnp.sort(flat, axis=1)
+    trunc = sorted_flat[:, int(0.1 * n) : int(0.9 * n)]
+    mean = trunc.mean(axis=1)[:, None, None, None]
+    var = trunc.var(axis=1)[:, None, None, None]
+    return (depth - mean) / jnp.sqrt(var + eps)
+
+
+def global_norm(tree: Any) -> jnp.ndarray:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
+
+
+def make_pretrain_train_step(
+    model,
+    balancer,
+    tasks_loss_fn: Dict[str, Callable],
+    *,
+    num_encoded_tokens: int = 98,
+    in_domains: Sequence[str] = ("rgb", "depth", "semseg"),
+    alphas=1.0,
+    sample_tasks_uniformly: bool = False,
+    standardize_depth_flag: bool = True,
+    extra_norm_pix_loss: bool = True,
+    loss_on_unmasked: bool = False,
+    clip_grad: Optional[float] = None,
+    skip_grad: Optional[float] = None,
+):
+    """Build the jittable train step. The caller jits it (optionally with
+    shardings over a data mesh)."""
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        rng_mask, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        tasks_dict = dict(batch)
+        if standardize_depth_flag and "depth" in tasks_dict:
+            tasks_dict["depth"] = standardize_depth(tasks_dict["depth"])
+
+        input_dict = {t: v for t, v in tasks_dict.items() if t in in_domains}
+
+        def loss_fn(params):
+            preds, masks = model.apply(
+                {"params": params["model"]},
+                input_dict,
+                train=True,
+                num_encoded_tokens=num_encoded_tokens,
+                alphas=alphas,
+                sample_tasks_uniformly=sample_tasks_uniformly,
+                rngs={"masking": rng_mask, "dropout": rng_drop},
+            )
+            targets = dict(tasks_dict)
+            if extra_norm_pix_loss:
+                targets["norm_rgb"] = targets["rgb"]
+                masks["norm_rgb"] = masks.get("rgb", None)
+
+            task_losses = {}
+            for task, pred in preds.items():
+                target = targets[task]
+                if loss_on_unmasked:
+                    task_losses[task] = tasks_loss_fn[task](
+                        pred.astype(jnp.float32), target
+                    )
+                else:
+                    task_losses[task] = tasks_loss_fn[task](
+                        pred.astype(jnp.float32), target, mask=masks.get(task, None)
+                    )
+
+            weighted = balancer.apply({"params": params["balancer"]}, task_losses)
+            total = sum(weighted.values())
+            return total, (task_losses, weighted)
+
+        (loss, (task_losses, weighted)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        grad_norm = global_norm(grads)
+        if clip_grad is not None:
+            scale = jnp.minimum(1.0, clip_grad / (grad_norm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+
+        skip = jnp.logical_not(jnp.isfinite(grad_norm))
+        if skip_grad is not None:
+            skip = jnp.logical_or(skip, grad_norm >= skip_grad)
+
+        new_state = state.apply_gradients(grads, skip_update=skip)
+
+        metrics = {
+            "loss": sum(task_losses.values()),
+            "grad_norm": grad_norm,
+            "skipped": skip.astype(jnp.float32),
+        }
+        for task, l in task_losses.items():
+            metrics[f"{task}_loss"] = l
+        for task, l in weighted.items():
+            metrics[f"{task}_loss_weighted"] = l
+        return new_state, metrics
+
+    return train_step
+
+
+def jit_data_parallel(train_step, mesh):
+    """jit the step with params replicated and the batch sharded on 'data'."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
