@@ -1,0 +1,139 @@
+"""Checkpoint save / auto-resume (reference: utils/checkpoint.py).
+
+Format: one `checkpoint-{epoch}.msgpack` per save (flax serialization of
+{params, opt_state, step, epoch, ema, batch_stats}), plus an `args.json`
+sidecar — mirroring the reference's checkpoint-{epoch}.pth contents
+(model/optimizer/epoch/scaler/args, utils/checkpoint.py:80-95). Only
+process 0 writes (utils/dist.py:57-59).
+
+`auto_load_checkpoint` globs the latest checkpoint-*.msgpack and restores
+optimizer + epoch (utils/checkpoint.py:103-134). `load_pretrained_torch`
+reads the released PyTorch .pth files through multimae_tpu.utils.
+torch_compat for fine-tuning starts.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import flax.serialization
+import jax
+import numpy as np
+
+
+def _is_main() -> bool:
+    return jax.process_index() == 0
+
+
+def save_checkpoint(
+    output_dir: str,
+    epoch: int,
+    state,
+    extras: Optional[Dict[str, Any]] = None,
+    args: Optional[Dict[str, Any]] = None,
+    tag: Optional[str] = None,
+) -> Optional[str]:
+    """Write checkpoint-{epoch}.msgpack (rank 0 only). Returns the path."""
+    if not _is_main():
+        return None
+    os.makedirs(output_dir, exist_ok=True)
+    to_sd = flax.serialization.to_state_dict
+    payload = {
+        "params": to_sd(jax.device_get(state.params)),
+        "opt_state": to_sd(jax.device_get(state.opt_state)),
+        "step": int(state.step),
+        "epoch": int(epoch),
+    }
+    if state.ema_params is not None:
+        payload["ema_params"] = to_sd(jax.device_get(state.ema_params))
+    if state.batch_stats is not None:
+        payload["batch_stats"] = to_sd(jax.device_get(state.batch_stats))
+    if extras:
+        payload["extras"] = to_sd(jax.device_get(extras))
+    name = tag if tag is not None else f"checkpoint-{epoch}"
+    path = os.path.join(output_dir, f"{name}.msgpack")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)
+    if args is not None:
+        with open(os.path.join(output_dir, "args.json"), "w") as f:
+            json.dump({k: str(v) for k, v in args.items()}, f, indent=2)
+    return path
+
+
+def latest_checkpoint(output_dir: str) -> Optional[str]:
+    """Glob latest checkpoint-*.msgpack (reference :107-117)."""
+    ckpts = glob.glob(os.path.join(output_dir, "checkpoint-*.msgpack"))
+    best, best_epoch = None, -1
+    for c in ckpts:
+        m = re.search(r"checkpoint-(\d+)\.msgpack$", c)
+        if m and int(m.group(1)) > best_epoch:
+            best_epoch = int(m.group(1))
+            best = c
+    return best
+
+
+def load_checkpoint(path: str, state) -> Tuple[Any, int]:
+    """Restore a TrainState (+epoch) from a saved msgpack."""
+    with open(path, "rb") as f:
+        payload = flax.serialization.msgpack_restore(f.read())
+
+    def _restore(template, saved):
+        flat_t = flax.traverse_util.flatten_dict(
+            flax.serialization.to_state_dict(template), sep="/"
+        )
+        flat_s = flax.traverse_util.flatten_dict(saved, sep="/")
+        out = {
+            k: np.asarray(flat_s[k]).reshape(np.shape(v)) if k in flat_s else v
+            for k, v in flat_t.items()
+        }
+        return flax.serialization.from_state_dict(
+            template, flax.traverse_util.unflatten_dict(out, sep="/")
+        )
+
+    new_state = state.replace(
+        params=_restore(state.params, payload["params"]),
+        opt_state=_restore(state.opt_state, payload["opt_state"]),
+        step=np.asarray(payload["step"], np.int32),
+    )
+    if state.ema_params is not None and "ema_params" in payload:
+        new_state = new_state.replace(
+            ema_params=_restore(state.ema_params, payload["ema_params"])
+        )
+    if state.batch_stats is not None and "batch_stats" in payload:
+        new_state = new_state.replace(
+            batch_stats=_restore(state.batch_stats, payload["batch_stats"])
+        )
+    return new_state, int(payload["epoch"])
+
+
+def auto_load_checkpoint(output_dir: str, state) -> Tuple[Any, int]:
+    """Resume from the latest checkpoint in output_dir; returns
+    (state, start_epoch). start_epoch = saved epoch + 1 (reference :131)."""
+    path = latest_checkpoint(output_dir)
+    if path is None:
+        return state, 0
+    state, epoch = load_checkpoint(path, state)
+    print(f"[checkpoint] auto-resumed from {path} (epoch {epoch})")
+    return state, epoch + 1
+
+
+def load_pretrained_torch(
+    path: str, params_template, head_type: str = "regression", strict: bool = False
+):
+    """Load a reference-format .pth into a flax param template
+    (fine-tune start; reference utils/checkpoint.py:26-72 tolerant load)."""
+    from multimae_tpu.utils.torch_compat import (
+        load_torch_state_dict,
+        state_dict_to_params,
+    )
+
+    state_dict = load_torch_state_dict(path)
+    return state_dict_to_params(
+        state_dict, params_template, head_type=head_type, strict=strict
+    )
