@@ -1,0 +1,275 @@
+"""RandAugment / AutoAugment-style policies (clean-room, PIL-based).
+
+Behavioural parity with the timm stack the reference vendors
+(utils/auto_augment.py): same op set, level math, and config-string
+grammar for the recipes' `--aa rand-m9-mstd0.5-inc1`:
+  * ops applied with prob 0.5 each, `num_layers` (default 2) draws with
+    replacement from the op table
+  * magnitude m in [0, 10]; with mstd > 0, m ~ N(magnitude, mstd) clipped
+  * 'inc1' selects the "increasing" level maps (stronger effect with
+    higher magnitude for Posterize/Solarize/Color/Contrast/Brightness/
+    Sharpness)
+  * geometric ops fill with the dataset mean colour and use a randomly
+    chosen bilinear/bicubic resample
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from PIL import Image, ImageEnhance, ImageOps
+
+_LEVEL_DENOM = 10.0
+_DEFAULT_FILL = (128, 128, 128)
+
+
+def _interp(resample):
+    if isinstance(resample, (tuple, list)):
+        return random.choice(resample)
+    return resample
+
+
+def _negate(v: float) -> float:
+    return -v if random.random() > 0.5 else v
+
+
+# --- pixel ops -------------------------------------------------------------
+
+def auto_contrast(img, _):
+    return ImageOps.autocontrast(img)
+
+
+def equalize(img, _):
+    return ImageOps.equalize(img)
+
+
+def invert(img, _):
+    return ImageOps.invert(img)
+
+
+def rotate(img, degrees, fill=_DEFAULT_FILL, resample=None):
+    return img.rotate(degrees, resample=_interp(resample), fillcolor=fill)
+
+
+def posterize(img, bits):
+    bits = int(bits)
+    if bits >= 8:
+        return img
+    return ImageOps.posterize(img, max(bits, 1))
+
+
+def solarize(img, thresh):
+    return ImageOps.solarize(img, int(thresh))
+
+
+def solarize_add(img, add, thresh: int = 128):
+    lut = [min(255, i + int(add)) if i < thresh else i for i in range(256)]
+    if img.mode in ("L", "RGB"):
+        if img.mode == "RGB":
+            lut = lut + lut + lut
+        return img.point(lut)
+    return img
+
+
+def color(img, factor):
+    return ImageEnhance.Color(img).enhance(factor)
+
+
+def contrast(img, factor):
+    return ImageEnhance.Contrast(img).enhance(factor)
+
+
+def brightness(img, factor):
+    return ImageEnhance.Brightness(img).enhance(factor)
+
+
+def sharpness(img, factor):
+    return ImageEnhance.Sharpness(img).enhance(factor)
+
+
+def shear_x(img, factor, fill=_DEFAULT_FILL, resample=None):
+    return img.transform(
+        img.size, Image.AFFINE, (1, factor, 0, 0, 1, 0),
+        resample=_interp(resample), fillcolor=fill,
+    )
+
+
+def shear_y(img, factor, fill=_DEFAULT_FILL, resample=None):
+    return img.transform(
+        img.size, Image.AFFINE, (1, 0, 0, factor, 1, 0),
+        resample=_interp(resample), fillcolor=fill,
+    )
+
+
+def translate_x_rel(img, pct, fill=_DEFAULT_FILL, resample=None):
+    pixels = pct * img.size[0]
+    return img.transform(
+        img.size, Image.AFFINE, (1, 0, pixels, 0, 1, 0),
+        resample=_interp(resample), fillcolor=fill,
+    )
+
+
+def translate_y_rel(img, pct, fill=_DEFAULT_FILL, resample=None):
+    pixels = pct * img.size[1]
+    return img.transform(
+        img.size, Image.AFFINE, (1, 0, 0, 0, 1, pixels),
+        resample=_interp(resample), fillcolor=fill,
+    )
+
+
+# --- level maps ------------------------------------------------------------
+
+def _enhance_level(m):
+    return 1.8 * m / _LEVEL_DENOM + 0.1
+
+
+def _enhance_increasing_level(m):
+    return 1.0 + _negate(0.9 * m / _LEVEL_DENOM)
+
+
+def _shear_level(m):
+    return _negate(0.3 * m / _LEVEL_DENOM)
+
+
+def _translate_rel_level(m):
+    return _negate(0.45 * m / _LEVEL_DENOM)
+
+
+def _rotate_level(m):
+    return _negate(30.0 * m / _LEVEL_DENOM)
+
+
+def _posterize_level(m):
+    return int(4.0 * m / _LEVEL_DENOM)
+
+
+_OPS = {
+    # name: (fn, level_fn or None, geometric?)
+    "AutoContrast": (auto_contrast, None, False),
+    "Equalize": (equalize, None, False),
+    "Invert": (invert, None, False),
+    "Rotate": (rotate, _rotate_level, True),
+    "Posterize": (posterize, lambda m: 4 - _posterize_level(m), False),
+    "PosterizeIncreasing": (posterize, lambda m: 4 - _posterize_level(m), False),
+    "PosterizeOriginal": (posterize, _posterize_level, False),
+    "Solarize": (solarize, lambda m: 256 - int(256 * m / _LEVEL_DENOM), False),
+    "SolarizeIncreasing": (
+        solarize, lambda m: 256 - int(256 * m / _LEVEL_DENOM), False
+    ),
+    "SolarizeAdd": (solarize_add, lambda m: int(110 * m / _LEVEL_DENOM), False),
+    "Color": (color, _enhance_level, False),
+    "ColorIncreasing": (color, _enhance_increasing_level, False),
+    "Contrast": (contrast, _enhance_level, False),
+    "ContrastIncreasing": (contrast, _enhance_increasing_level, False),
+    "Brightness": (brightness, _enhance_level, False),
+    "BrightnessIncreasing": (brightness, _enhance_increasing_level, False),
+    "Sharpness": (sharpness, _enhance_level, False),
+    "SharpnessIncreasing": (sharpness, _enhance_increasing_level, False),
+    "ShearX": (shear_x, _shear_level, True),
+    "ShearY": (shear_y, _shear_level, True),
+    "TranslateXRel": (translate_x_rel, _translate_rel_level, True),
+    "TranslateYRel": (translate_y_rel, _translate_rel_level, True),
+}
+
+RAND_TRANSFORMS = [
+    "AutoContrast", "Equalize", "Invert", "Rotate", "Posterize", "Solarize",
+    "SolarizeAdd", "Color", "Contrast", "Brightness", "Sharpness", "ShearX",
+    "ShearY", "TranslateXRel", "TranslateYRel",
+]
+
+RAND_INCREASING_TRANSFORMS = [
+    "AutoContrast", "Equalize", "Invert", "Rotate", "PosterizeIncreasing",
+    "SolarizeIncreasing", "SolarizeAdd", "ColorIncreasing",
+    "ContrastIncreasing", "BrightnessIncreasing", "SharpnessIncreasing",
+    "ShearX", "ShearY", "TranslateXRel", "TranslateYRel",
+]
+
+
+class AugmentOp:
+    def __init__(self, name: str, prob: float = 0.5, magnitude: float = 10,
+                 magnitude_std: float = 0.0, magnitude_max: Optional[float] = None,
+                 fill: Tuple[int, int, int] = _DEFAULT_FILL):
+        fn, level_fn, geometric = _OPS[name]
+        self.name = name
+        self.fn = fn
+        self.level_fn = level_fn
+        self.geometric = geometric
+        self.prob = prob
+        self.magnitude = magnitude
+        self.magnitude_std = magnitude_std
+        self.magnitude_max = magnitude_max
+        self.fill = fill
+        self.resample = (Image.BILINEAR, Image.BICUBIC)
+
+    def __call__(self, img):
+        if self.prob < 1.0 and random.random() > self.prob:
+            return img
+        m = self.magnitude
+        if self.magnitude_std > 0:
+            if self.magnitude_std == float("inf"):
+                m = random.uniform(0, m)
+            else:
+                m = random.gauss(m, self.magnitude_std)
+        upper = self.magnitude_max or _LEVEL_DENOM
+        m = max(0.0, min(m, upper))
+        if self.level_fn is None:
+            return self.fn(img, None)
+        level = self.level_fn(m)
+        if self.geometric:
+            return self.fn(img, level, fill=self.fill, resample=self.resample)
+        return self.fn(img, level)
+
+
+class RandAugment:
+    def __init__(self, ops: Sequence[AugmentOp], num_layers: int = 2):
+        self.ops = list(ops)
+        self.num_layers = num_layers
+
+    def __call__(self, img):
+        for op in random.choices(self.ops, k=self.num_layers):
+            img = op(img)
+        return img
+
+
+def rand_augment_transform(config_str: str, hparams: Optional[Dict] = None):
+    """Parse 'rand-m9-mstd0.5-inc1'-style configs (timm grammar)."""
+    hparams = dict(hparams or {})
+    magnitude = _LEVEL_DENOM
+    num_layers = 2
+    increasing = False
+    magnitude_std = 0.0
+    magnitude_max = None
+    config = config_str.split("-")
+    assert config[0] == "rand", f"unsupported aa config {config_str}"
+    for c in config[1:]:
+        cs = re.split(r"(\d.*)", c)
+        if len(cs) < 2:
+            continue
+        key, val = cs[:2]
+        if key == "mstd":
+            magnitude_std = float(val)
+            if magnitude_std > 100:
+                magnitude_std = float("inf")
+        elif key == "mmax":
+            magnitude_max = float(val)
+        elif key == "inc":
+            increasing = bool(int(val))
+        elif key == "m":
+            magnitude = float(val)
+        elif key == "n":
+            num_layers = int(val)
+        elif key == "w":
+            pass  # choice weights not used by any recipe here
+        else:
+            raise ValueError(f"Unknown RandAugment option {c}")
+    names = RAND_INCREASING_TRANSFORMS if increasing else RAND_TRANSFORMS
+    fill = tuple(hparams.get("img_mean", _DEFAULT_FILL))
+    ops = [
+        AugmentOp(n, prob=0.5, magnitude=magnitude, magnitude_std=magnitude_std,
+                  magnitude_max=magnitude_max, fill=fill)
+        for n in names
+    ]
+    return RandAugment(ops, num_layers=num_layers)

@@ -116,8 +116,24 @@ def _convert_tensor(
         if t.ndim == 4:  # (1, D, h, w) -> (1, h, w, D)
             t = t.transpose(0, 2, 3, 1)
         if t.shape != flax_shape:
+            # Fine-tune at a different resolution: bicubic-resize the grid
+            # (reference utils/pos_embed.py:44-58, align_corners=False).
+            from multimae_tpu.ops.resize import interpolate_2d
+
+            if t.shape[-1] == flax_shape[-1]:
+                t = np.asarray(
+                    interpolate_2d(
+                        t, (flax_shape[1], flax_shape[2]),
+                        mode="bicubic", align_corners=False,
+                    )
+                )
+        if t.shape != flax_shape:
             raise ValueError(f"pos_emb shape {t.shape} != {flax_shape} at {path}")
         return t
+    if leaf == "class_emb" and t.ndim == 2 and t.shape[0] + 1 == flax_shape[0]:
+        # Void-class row appended for semseg fine-tuning
+        # (reference run_finetuning_semseg.py:418-420, zero-padded at end).
+        t = np.concatenate([t, np.zeros((1, t.shape[1]), t.dtype)], axis=0)
     if leaf == "kernel":
         if t.ndim == 2:
             t = t.T
@@ -165,13 +181,21 @@ def state_dict_to_params(
     head_type: str = "regression",
     strict: bool = False,
     verbose: bool = True,
+    drop_output_adapters: bool = False,
 ) -> Tuple[Any, Dict[str, List[str]]]:
     """Fill a flax param template from a torch state_dict.
 
     Returns (params, report) where report lists 'missing' (template leaves
     with no torch source — left at template values) and 'unexpected'
     (torch keys not consumed). With strict=True raises on missing keys.
+    drop_output_adapters=True ignores every `output_adapters.*` source key
+    (fine-tune surgery, reference run_finetuning_semseg.py:423-425).
     """
+    if drop_output_adapters:
+        state_dict = {
+            k: v for k, v in state_dict.items()
+            if not k.startswith("output_adapters.")
+        }
     flat = flax.traverse_util.flatten_dict(
         flax.core.unfreeze(params_template), sep=None
     )
