@@ -1,0 +1,501 @@
+"""Semantic-segmentation fine-tuning CLI (TPU-native).
+
+Parity target: reference run_finetuning_semseg.py (ADE20K / Hypersim /
+NYUv2; RGB / D / RGB+D / pseudo-semseg inputs; segmenter / convnext /
+dpt heads; mIoU eval). Distributed eval uses an ON-DEVICE confusion
+matrix psummed by XLA instead of the reference's rank-0 pickle gather
+(utils/dist.py:96-159).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import functools
+import math
+import os
+import sys
+import time
+
+import yaml
+
+from multimae_tpu.utils.data_constants import COCO_SEMSEG_NUM_CLASSES, SEG_IGNORE_INDEX
+
+
+def get_args(argv=None):
+    config_parser = argparse.ArgumentParser(add_help=False)
+    config_parser.add_argument("-c", "--config", default="", type=str, metavar="FILE")
+
+    parser = argparse.ArgumentParser("MultiMAE semantic segmentation fine-tuning script")
+    parser.add_argument("--batch_size", default=4, type=int)
+    parser.add_argument("--epochs", default=64, type=int)
+    parser.add_argument("--save_ckpt_freq", default=20, type=int)
+
+    parser.add_argument("--in_domains", default="rgb", type=str)
+    parser.add_argument("--standardize_depth", action="store_true")
+    parser.add_argument("--no_standardize_depth", action="store_false", dest="standardize_depth")
+    parser.set_defaults(standardize_depth=True)
+    parser.add_argument("--use_mask_valid", action="store_true")
+    parser.add_argument("--no_mask_valid", action="store_false", dest="use_mask_valid")
+    parser.set_defaults(use_mask_valid=False)
+    parser.add_argument("--load_pseudo_depth", action="store_true")
+    parser.add_argument("--no_load_pseudo_depth", action="store_false", dest="load_pseudo_depth")
+    parser.set_defaults(load_pseudo_depth=False)
+
+    parser.add_argument("--model", default="multivit_base", type=str)
+    parser.add_argument("--num_global_tokens", default=1, type=int)
+    parser.add_argument("--patch_size", default=16, type=int)
+    parser.add_argument("--input_size", default=512, type=int)
+    parser.add_argument("--drop_path_encoder", type=float, default=0.1)
+    parser.add_argument("--learnable_pos_emb", action="store_true")
+    parser.add_argument("--no_learnable_pos_emb", action="store_false", dest="learnable_pos_emb")
+    parser.set_defaults(learnable_pos_emb=False)
+
+    parser.add_argument("--output_adapter", type=str, default="convnext",
+                        choices=["segmenter", "convnext", "dpt"])
+    parser.add_argument("--decoder_dim", default=6144, type=int)
+    parser.add_argument("--decoder_depth", default=4, type=int)
+    parser.add_argument("--drop_path_decoder", type=float, default=0.0)
+    parser.add_argument("--decoder_preds_per_patch", type=int, default=16)
+    parser.add_argument("--decoder_interpolate_mode", type=str, default="bilinear",
+                        choices=["bilinear", "nearest"])
+    parser.add_argument("--decoder_main_tasks", type=str, default="rgb")
+
+    parser.add_argument("--opt", default="adamw", type=str)
+    parser.add_argument("--opt_eps", default=1e-8, type=float)
+    parser.add_argument("--opt_betas", default=[0.9, 0.999], type=float, nargs="+")
+    parser.add_argument("--clip_grad", type=float, default=None)
+    parser.add_argument("--momentum", type=float, default=0.9)
+    parser.add_argument("--weight_decay", type=float, default=0.05)
+    parser.add_argument("--weight_decay_end", type=float, default=None)
+    parser.add_argument("--decoder_decay", type=float, default=None)
+    parser.add_argument("--no_lr_scale_list", type=str, default="")
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--warmup_lr", type=float, default=1e-6)
+    parser.add_argument("--min_lr", type=float, default=0.0)
+    parser.add_argument("--layer_decay", type=float, default=0.75)
+    parser.add_argument("--warmup_epochs", type=int, default=1)
+    parser.add_argument("--warmup_steps", type=int, default=-1)
+
+    parser.add_argument("--aug_name", type=str, default="simple", choices=["simple"])
+    parser.add_argument("--finetune", default="")
+
+    parser.add_argument("--num_classes", default=150, type=int)
+    parser.add_argument("--dataset_name", default="ade20k", type=str)
+    parser.add_argument("--data_path", default="", type=str)
+    parser.add_argument("--eval_data_path", default="", type=str)
+    parser.add_argument("--test_data_path", default=None, type=str)
+    parser.add_argument("--max_val_images", default=None, type=int)
+    parser.add_argument("--eval_freq", default=1, type=int)
+    parser.add_argument("--seg_reduce_zero_label", action="store_true")
+    parser.add_argument("--seg_use_void_label", action="store_true")
+
+    parser.add_argument("--output_dir", default="")
+    parser.add_argument("--device", default="tpu")
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--resume", default="")
+    parser.add_argument("--auto_resume", action="store_true")
+    parser.add_argument("--no_auto_resume", action="store_false", dest="auto_resume")
+    parser.set_defaults(auto_resume=True)
+    parser.add_argument("--save_ckpt", action="store_true")
+    parser.add_argument("--no_save_ckpt", action="store_false", dest="save_ckpt")
+    parser.set_defaults(save_ckpt=True)
+    parser.add_argument("--start_epoch", default=0, type=int)
+    parser.add_argument("--eval", action="store_true")
+    parser.add_argument("--test", action="store_true")
+    parser.add_argument("--dist_eval", action="store_true", default=False)
+    parser.add_argument("--num_workers", default=16, type=int)
+    parser.add_argument("--pin_mem", action="store_true")
+    parser.add_argument("--no_pin_mem", action="store_false", dest="pin_mem")
+    parser.set_defaults(pin_mem=True)
+    parser.add_argument("--find_unused_params", action="store_true")
+    parser.add_argument("--no_find_unused_params", action="store_false", dest="find_unused_params")
+    parser.set_defaults(find_unused_params=True)
+    parser.add_argument("--fp16", action="store_true")
+    parser.add_argument("--no_fp16", action="store_false", dest="fp16")
+    parser.set_defaults(fp16=True)
+
+    parser.add_argument("--log_wandb", default=False, action="store_true")
+    parser.add_argument("--wandb_project", default=None, type=str)
+    parser.add_argument("--wandb_entity", default=None, type=str)
+    parser.add_argument("--wandb_run_name", default=None, type=str)
+    parser.add_argument("--log_images_wandb", action="store_true")
+    parser.add_argument("--log_images_freq", default=5, type=int)
+    parser.add_argument("--show_user_warnings", default=False, action="store_true")
+
+    parser.add_argument("--world_size", default=1, type=int)
+    parser.add_argument("--local_rank", default=-1, type=int)
+    parser.add_argument("--dist_on_itp", action="store_true")
+    parser.add_argument("--dist_url", default="env://")
+
+    parser.add_argument("--synthetic_data", action="store_true")
+    parser.add_argument("--synthetic_steps_per_epoch", default=4, type=int)
+
+    args_config, remaining = config_parser.parse_known_args(argv)
+    if args_config.config:
+        with open(args_config.config, "r") as f:
+            cfg = yaml.safe_load(f)
+        known = {a.dest for a in parser._actions}
+        parser.set_defaults(**{k: v for k, v in cfg.items() if k in known})
+    return parser.parse_args(remaining)
+
+
+def build_semseg_model(args, dtype):
+    """Reference run_finetuning_semseg.py:371-407."""
+    from multimae_tpu.models import (
+        ConvNeXtAdapter,
+        DPTOutputAdapter,
+        PatchedInputAdapter,
+        SegmenterMaskTransformerAdapter,
+        SemSegInputAdapter,
+    )
+    from multimae_tpu.models.registry import create_model
+
+    in_domains = [d for d in args.in_domains.split("-")]
+    if "pseudo_semseg" in in_domains:
+        in_domains.remove("pseudo_semseg")
+        in_domains.append("semseg")
+
+    domain_conf = {
+        "rgb": functools.partial(PatchedInputAdapter, num_channels=3, stride_level=1),
+        "depth": functools.partial(PatchedInputAdapter, num_channels=1, stride_level=1),
+        "semseg": functools.partial(
+            SemSegInputAdapter, num_classes=COCO_SEMSEG_NUM_CLASSES,
+            stride_level=4, dim_class_emb=64, interpolate_class_emb=False,
+            emb_padding_idx=COCO_SEMSEG_NUM_CLASSES,
+        ),
+    }
+    input_adapters = {
+        d: functools.partial(
+            domain_conf[d], patch_size_full=args.patch_size,
+            image_size=args.input_size, learnable_pos_emb=args.learnable_pos_emb,
+        )
+        for d in in_domains
+    }
+
+    num_classes_with_void = (
+        args.num_classes + 1 if args.seg_use_void_label else args.num_classes
+    )
+    main_tasks = tuple(args.decoder_main_tasks.split("-"))
+    adapters_dict = {
+        "segmenter": functools.partial(
+            SegmenterMaskTransformerAdapter, depth=args.decoder_depth,
+            drop_path_rate=args.drop_path_decoder, embed_dim=args.decoder_dim,
+            main_tasks=main_tasks,
+        ),
+        "convnext": functools.partial(
+            ConvNeXtAdapter, preds_per_patch=args.decoder_preds_per_patch,
+            depth=args.decoder_depth, embed_dim=args.decoder_dim,
+            interpolate_mode=args.decoder_interpolate_mode, main_tasks=main_tasks,
+        ),
+        "dpt": functools.partial(
+            DPTOutputAdapter, stride_level=1, main_tasks=main_tasks,
+            head_type="semseg",
+        ),
+    }
+    output_adapters = {
+        "semseg": functools.partial(
+            adapters_dict[args.output_adapter],
+            num_classes=num_classes_with_void,
+            patch_size=args.patch_size,
+        )
+    }
+
+    model = create_model(
+        args.model,
+        input_adapters=input_adapters,
+        output_adapters=output_adapters,
+        drop_path_rate=args.drop_path_encoder,
+        dtype=dtype,
+    )
+    return model, in_domains, num_classes_with_void
+
+
+def seg_cross_entropy(logits, target, ignore_index=SEG_IGNORE_INDEX):
+    """CE(ignore_index=255) over NHWC logits (reference :483)."""
+    import jax
+    import jax.numpy as jnp
+
+    logits = logits.astype(jnp.float32)
+    valid = target != ignore_index
+    tgt = jnp.where(valid, target, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    return jnp.where(valid, nll, 0.0).sum() / jnp.maximum(valid.sum(), 1)
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimae_tpu.data.dataset_folder import MultiTaskImageFolder
+    from multimae_tpu.data.loader import build_loader, steps_per_epoch
+    from multimae_tpu.data.semseg_transforms import (
+        DataAugmentationForSemSeg,
+        SimpleTransform,
+    )
+    from multimae_tpu.parallel import mesh as mesh_lib
+    from multimae_tpu.train.checkpoint import (
+        auto_load_checkpoint,
+        load_pretrained_torch,
+        save_checkpoint,
+    )
+    from multimae_tpu.train.finetune_step import (
+        make_dense_eval_step,
+        make_dense_train_step,
+    )
+    from multimae_tpu.train.optim_factory import (
+        LayerDecayValueAssigner,
+        create_optimizer,
+    )
+    from multimae_tpu.train.schedules import as_optax_schedule, cosine_scheduler
+    from multimae_tpu.train.train_state import TrainState
+    from multimae_tpu.utils.logger import MetricLogger, write_log_line
+    from multimae_tpu.utils.metrics import confusion_matrix, miou_from_confusion
+
+    mesh_lib.initialize_distributed()
+    mesh = mesh_lib.create_mesh()
+    n_devices = jax.device_count()
+    dtype = jnp.bfloat16 if args.fp16 else jnp.float32
+
+    model, in_domains, num_classes_with_void = build_semseg_model(args, dtype)
+    raw_in_domains = args.in_domains.split("-")
+    all_domains = sorted(set(raw_in_domains) | {"semseg"} | ({"rgb"}))
+    if args.use_mask_valid:
+        all_domains.append("mask_valid")
+
+    global_batch = args.batch_size * n_devices
+
+    def example_batch(b):
+        rng = np.random.default_rng(0)
+        s = args.input_size
+        out = {
+            "rgb": rng.standard_normal((b, s, s, 3)).astype(np.float32),
+            "target": rng.integers(0, args.num_classes, (b, s, s)).astype(np.int32),
+        }
+        if "depth" in in_domains:
+            out["depth"] = rng.standard_normal((b, s, s, 1)).astype(np.float32)
+        if "semseg" in in_domains:
+            out["semseg"] = rng.integers(
+                0, COCO_SEMSEG_NUM_CLASSES, (b, s // 4, s // 4)
+            ).astype(np.int32)
+        return out
+
+    if args.synthetic_data:
+        num_steps_per_epoch = args.synthetic_steps_per_epoch
+    else:
+        train_tf = DataAugmentationForSemSeg(
+            SimpleTransform(train=True, input_size=args.input_size),
+            seg_num_classes=args.num_classes,
+            standardize_depth=args.standardize_depth,
+            seg_reduce_zero_label=args.seg_reduce_zero_label,
+            seg_use_void_label=args.seg_use_void_label,
+        )
+        val_tf = DataAugmentationForSemSeg(
+            SimpleTransform(train=False, input_size=args.input_size),
+            seg_num_classes=args.num_classes,
+            standardize_depth=args.standardize_depth,
+            seg_reduce_zero_label=args.seg_reduce_zero_label,
+            seg_use_void_label=args.seg_use_void_label,
+        )
+        prefixes = {"depth": "pseudo_"} if args.load_pseudo_depth else None
+        dataset_train = MultiTaskImageFolder(
+            args.data_path, all_domains, prefixes=prefixes
+        )
+        dataset_val = MultiTaskImageFolder(
+            args.eval_data_path, all_domains, prefixes=prefixes,
+            max_images=args.max_val_images,
+        )
+        num_steps_per_epoch = steps_per_epoch(len(dataset_train), global_batch)
+        train_loader = build_loader(
+            dataset_train, train_tf, global_batch_size=global_batch,
+            shuffle=True, seed=args.seed, num_epochs=None,
+            worker_count=args.num_workers,
+        )
+
+    # Params
+    rng = jax.random.PRNGKey(args.seed)
+    init_batch = {
+        k: jnp.asarray(v) for k, v in example_batch(2).items() if k != "target"
+    }
+    params = jax.jit(lambda: model.init({"params": rng}, init_batch)["params"])()
+    if args.finetune:
+        params, report = load_pretrained_torch(
+            args.finetune, params, head_type="semseg"
+        ) if args.finetune.endswith(".pth") else _load_flax_trunk(args.finetune, params)
+
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    print(f"params: {n_params / 1e6:.2f}M")
+
+    depth_layers = {"multivit_base": 12, "multivit_large": 24}[args.model]
+    assigner = None
+    if args.layer_decay < 1.0:
+        values = [args.layer_decay ** (depth_layers + 1 - i) for i in range(depth_layers + 2)]
+        assigner = LayerDecayValueAssigner(values)
+
+    lr_values = cosine_scheduler(
+        args.lr, args.min_lr, args.epochs, num_steps_per_epoch,
+        warmup_epochs=args.warmup_epochs, warmup_steps=args.warmup_steps,
+    )
+    wd_end = args.weight_decay_end if args.weight_decay_end is not None else args.weight_decay
+    wd_values = cosine_scheduler(args.weight_decay, wd_end, args.epochs,
+                                 num_steps_per_epoch)
+    tx = create_optimizer(
+        params, opt=args.opt, lr_schedule=as_optax_schedule(lr_values),
+        weight_decay=args.weight_decay, wd_schedule=as_optax_schedule(wd_values),
+        opt_betas=tuple(args.opt_betas), opt_eps=args.opt_eps,
+        momentum=args.momentum, layer_decay_assigner=assigner,
+        filter_bias_and_bn=True, learnable_pos_emb=args.learnable_pos_emb,
+    )
+    state = TrainState.create(params=params, tx=tx)
+    start_epoch = args.start_epoch
+    if args.auto_resume and args.output_dir:
+        state, start_epoch = auto_load_checkpoint(args.output_dir, state)
+    state = state.replace(
+        params=mesh_lib.replicate(state.params, mesh),
+        opt_state=mesh_lib.replicate(state.opt_state, mesh),
+    )
+
+    train_step = make_dense_train_step(
+        model, "semseg", seg_cross_entropy, in_domains=tuple(in_domains),
+        clip_grad=args.clip_grad,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+    jit_train = jax.jit(train_step, in_shardings=(repl, data_sh, repl),
+                        out_shardings=(repl, repl), donate_argnums=(0,))
+    eval_fwd = make_dense_eval_step(model, "semseg", in_domains=tuple(in_domains))
+
+    def eval_step(params, batch):
+        pred = eval_fwd(params, batch)
+        pred_cls = jnp.argmax(pred, axis=-1)
+        return confusion_matrix(pred_cls, batch["target"], args.num_classes,
+                                ignore_index=SEG_IGNORE_INDEX)
+
+    jit_eval = jax.jit(eval_step, in_shardings=(repl, data_sh), out_shardings=repl)
+
+    def prepare_batch(b):
+        out = {}
+        for task in in_domains:
+            if task == "semseg" and "pseudo_semseg" in b:
+                ps = np.asarray(b["pseudo_semseg"])
+                # remap invalid ids to the void row (reference :626-629)
+                ps = np.where(ps > COCO_SEMSEG_NUM_CLASSES - 1,
+                              COCO_SEMSEG_NUM_CLASSES, ps)
+                out["semseg"] = ps.astype(np.int32)
+            elif task in b:
+                out[task] = b[task]
+        out["target"] = np.asarray(b["semseg" if "semseg" in b else "target"])
+        return out
+
+    def run_eval():
+        loader = build_loader(
+            dataset_val, val_tf, global_batch_size=global_batch,
+            shuffle=False, seed=0, num_epochs=1, worker_count=args.num_workers,
+            drop_remainder=False,
+        )
+        cm = np.zeros((args.num_classes, args.num_classes), np.int64)
+        for b in loader:
+            prep = prepare_batch({k: v for k, v in b.items() if k != "label"})
+            if prep["target"].shape[0] < global_batch:
+                # handle remainder on host: replicate-pad then subtract? simpler:
+                # evaluate unpadded on single device
+                pred = eval_fwd(state.params, jax.tree.map(jnp.asarray, prep))
+                pred_cls = jnp.argmax(pred, axis=-1)
+                cm += np.asarray(confusion_matrix(
+                    pred_cls, jnp.asarray(prep["target"]), args.num_classes,
+                    ignore_index=SEG_IGNORE_INDEX))
+            else:
+                dev = mesh_lib.shard_batch(jax.tree.map(jnp.asarray, prep), mesh)
+                cm += np.asarray(jit_eval(state.params, dev))
+        stats = miou_from_confusion(cm)
+        return stats
+
+    if args.eval and not args.synthetic_data:
+        stats = run_eval()
+        print(f"* mIoU {stats['mIoU'] * 100:.3f} aAcc {stats['aAcc'] * 100:.3f} "
+              f"Acc {stats['mAcc'] * 100:.3f}")
+        return
+
+    step_rng = jax.random.PRNGKey(args.seed + 7)
+    best_miou = 0.0
+    print(f"Start training for {args.epochs} epochs")
+    start = time.time()
+    for epoch in range(start_epoch, args.epochs):
+        metric_logger = MetricLogger()
+        header = f"Epoch: [{epoch}]"
+
+        def train_batches():
+            for _ in range(num_steps_per_epoch):
+                if args.synthetic_data:
+                    yield prepare_batch(example_batch(global_batch))
+                else:
+                    b = next(train_loader)
+                    yield prepare_batch({k: v for k, v in b.items() if k != "label"})
+
+        for batch in metric_logger.log_every(
+            train_batches(), 20, header, total=num_steps_per_epoch
+        ):
+            dev = mesh_lib.shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+            state, metrics = jit_train(state, dev, step_rng)
+            loss_v = float(metrics["loss"])
+            if not math.isfinite(loss_v):
+                print(f"Loss is {loss_v}, stopping training")
+                sys.exit(1)
+            metric_logger.update(loss=loss_v, grad_norm=float(metrics["grad_norm"]))
+
+        metric_logger.synchronize_between_processes()
+        train_stats = {k: m.global_avg for k, m in metric_logger.meters.items()}
+        log_stats = {**{f"train_{k}": v for k, v in train_stats.items()},
+                     "epoch": epoch}
+
+        if not args.synthetic_data and (epoch + 1) % args.eval_freq == 0:
+            stats = run_eval()
+            miou = stats["mIoU"] * 100
+            print(f"* mIoU {miou:.3f} aAcc {stats['aAcc'] * 100:.3f}")
+            if miou > best_miou:
+                best_miou = miou
+                if args.output_dir and args.save_ckpt:
+                    save_checkpoint(args.output_dir, epoch, state,
+                                    args=vars(args), tag="checkpoint-best")
+            log_stats.update({"val_mIoU": miou, "best_mIoU": best_miou})
+
+        if args.output_dir and args.save_ckpt and (
+            (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs
+        ):
+            save_checkpoint(args.output_dir, epoch, state, args=vars(args))
+        write_log_line(args.output_dir, log_stats)
+
+    print(f"Training time {datetime.timedelta(seconds=int(time.time() - start))}")
+
+
+def _load_flax_trunk(path, params):
+    """Merge trunk tensors from one of our msgpack checkpoints."""
+    import flax
+    import jax.numpy as jnp
+    import numpy as np
+
+    with open(path, "rb") as f:
+        payload = flax.serialization.msgpack_restore(f.read())
+    src = payload["params"].get("model", payload["params"])
+    flat_t = flax.traverse_util.flatten_dict(params)
+    flat_s = flax.traverse_util.flatten_dict(src)
+    loaded = 0
+    for k in flat_t:
+        if k[0].startswith("output_adapters"):
+            continue
+        if k in flat_s and np.shape(flat_s[k]) == np.shape(flat_t[k]):
+            flat_t[k] = jnp.asarray(flat_s[k])
+            loaded += 1
+    print(f"[finetune] loaded {loaded}/{len(flat_t)} tensors")
+    return flax.traverse_util.unflatten_dict(flat_t), {}
+
+
+if __name__ == "__main__":
+    opts = get_args()
+    if opts.output_dir:
+        os.makedirs(opts.output_dir, exist_ok=True)
+    main(opts)

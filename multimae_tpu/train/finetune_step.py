@@ -86,16 +86,18 @@ def make_dense_train_step(
 
         def compute_loss(params):
             variables = {"params": params}
-            if state.batch_stats is not None:
-                variables["batch_stats"] = state.batch_stats
-            preds = model.apply(
-                variables, inputs, train=True, rngs={"dropout": rng_drop},
-                mutable=["batch_stats"] if state.batch_stats is not None else [],
-            )
             new_batch_stats = None
             if state.batch_stats is not None:
-                preds, updated = preds
+                variables["batch_stats"] = state.batch_stats
+                preds, updated = model.apply(
+                    variables, inputs, train=True, rngs={"dropout": rng_drop},
+                    mutable=["batch_stats"],
+                )
                 new_batch_stats = updated.get("batch_stats")
+            else:
+                preds = model.apply(
+                    variables, inputs, train=True, rngs={"dropout": rng_drop}
+                )
             pred = preds[task]
             kwargs = {}
             if needs_target_kwargs and "mask_valid" in batch:
