@@ -200,7 +200,11 @@ class MultiMAE(nn.Module):
             ids_keep, ids_restore = masking_ops.masks_to_indices(task_masks, k)
 
         input_tokens = jnp.concatenate(list(input_task_tokens.values()), axis=1)
-        input_tokens = jnp.take_along_axis(input_tokens, ids_keep[..., None], axis=1)
+        # Visible-token gather as a one-hot matmul (MXU) — take_along_axis's
+        # backward is a scatter-add, ~2x slower on TPU at this size.
+        from multimae_tpu.ops.gather import gather_tokens
+
+        input_tokens = gather_tokens(input_tokens, ids_keep)
 
         global_tokens = jnp.broadcast_to(
             self.global_tokens.astype(input_tokens.dtype),

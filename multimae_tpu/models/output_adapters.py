@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Dict, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -172,7 +173,25 @@ class SpatialOutputAdapter(nn.Module):
         return jnp.concatenate(context_embeddings, axis=1)
 
     def get_queries_and_context(self, context_tokens, input_info, ids_keep, ids_restore):
-        """Reference :183-234."""
+        """Reference :183-234, restructured for TPU.
+
+        The reference materialises the FULL unshuffled sequence
+        (scatter mask tokens into all N positions, torch.gather with
+        ids_restore) and then re-gathers the K visible positions — two
+        O(N) gathers whose backward passes are scatter-adds, per decoder.
+        Algebraically, only two small pieces of that sequence are ever
+        used:
+          * queries  = the task's own slice [start:end]:
+              q[p] = rank[p] < K ? proj(enc[rank[p]]) : mask_token,
+              plus the (batch-independent) context embedding at p.
+          * context  = the K visible tokens themselves, which are just
+              proj(enc_visible) + context_emb[ids_keep], plus globals.
+        Both are expressed as small one-hot matmuls (MXU) instead of
+        gather/scatter — ~2x faster fwd+bwd per decoder at ViT-B scale.
+        Numerics are identical (same additions, same sources).
+        """
+        from multimae_tpu.ops.gather import select_or_zero
+
         b = context_tokens.shape[0]
         h, w = input_info["image_size"]
         ph, pw = self.patch_hw
@@ -180,30 +199,26 @@ class SpatialOutputAdapter(nn.Module):
         nw = w // (self.stride_level * pw)
         num_global = input_info.get("num_global_tokens", 0)
         num_task_tokens = input_info["num_task_tokens"]
+        k = ids_keep.shape[1]
 
-        if num_global > 0:
-            context_wo_global = context_tokens[:, :-num_global]
-        else:
-            context_wo_global = context_tokens
-
-        n_mask = num_task_tokens - context_wo_global.shape[1]
-        mask_tokens = jnp.broadcast_to(
-            self.mask_token.astype(self.dtype), (b, n_mask, self.dim_tokens)
+        ctx_visible_proj = (
+            context_tokens[:, :-num_global] if num_global > 0 else context_tokens
         )
-        context_with_mask = jnp.concatenate([context_wo_global, mask_tokens], axis=1)
-
-        # Unshuffle to original token order.
-        context_with_mask = jnp.take_along_axis(
-            context_with_mask, ids_restore[..., None], axis=1
-        )
-
-        context_emb = self.generate_context_embeddings(input_info, b, (nh, nw))
-        context_with_mask = context_with_mask + context_emb
+        # (1, N, D) batch-independent task+pos embeddings.
+        context_emb = self.generate_context_embeddings(input_info, 1, (nh, nw))
 
         if self.use_task_queries and self.task in input_info["tasks"]:
             start = input_info["tasks"][self.task]["start_idx"]
             end = input_info["tasks"][self.task]["end_idx"]
-            queries = context_with_mask[:, start:end]
+            rank_slice = ids_restore[:, start:end]
+            # Visible positions pull their encoder token; masked rows of the
+            # one-hot are all-zero, replaced by the mask token.
+            q_tokens = select_or_zero(ctx_visible_proj, rank_slice, k)
+            visible = (rank_slice < k)[..., None]
+            queries = jnp.where(
+                visible, q_tokens, self.mask_token.astype(self.dtype)
+            )
+            queries = queries + context_emb[:, start:end]
         else:
             queries = jnp.broadcast_to(
                 self.mask_token.astype(self.dtype), (b, nh * nw, self.dim_tokens)
@@ -215,10 +230,14 @@ class SpatialOutputAdapter(nn.Module):
             if self.task in self.task_embeddings:
                 queries = queries + self.task_embeddings[self.task].astype(self.dtype)
 
-        # Re-gather the visible context (now with embeddings added).
-        context_visible = jnp.take_along_axis(
-            context_with_mask, ids_keep[..., None], axis=1
-        )
+        # context_emb rows at the visible positions (one-hot matmul so the
+        # backward into task_embeddings is a matmul, not a scatter).
+        onehot_keep = jax.nn.one_hot(ids_keep, num_task_tokens, dtype=self.dtype)
+        ctx_emb_keep = jnp.einsum(
+            "bkn,nd->bkd", onehot_keep, context_emb[0],
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        context_visible = ctx_visible_proj + ctx_emb_keep
         if num_global > 0:
             context = jnp.concatenate(
                 [context_visible, context_tokens[:, -num_global:]], axis=1

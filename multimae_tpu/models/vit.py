@@ -123,14 +123,11 @@ def _attention_core(q, k, v, scale: float, dtype) -> jnp.ndarray:
     """Softmax attention with fp32 logits/softmax.
 
     q,k,v: (B, H, N, Dh). Returns (B, H, N, Dh) in `dtype`.
+    Dispatches to the Pallas flash kernel on TPU/bf16 (ops/attention.py).
     """
-    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
-    logits = logits.astype(jnp.float32) * scale
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum(
-        "bhnm,bhmd->bhnd", probs.astype(dtype), v, preferred_element_type=jnp.float32
-    )
-    return out.astype(dtype)
+    from multimae_tpu.ops.attention import fused_attention
+
+    return fused_attention(q, k, v, scale).astype(dtype)
 
 
 class Attention(nn.Module):

@@ -24,18 +24,63 @@ import jax.numpy as jnp
 from multimae_tpu.train.train_state import TrainState
 
 
-def standardize_depth(depth: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+def _quantile_bisect(flat: jnp.ndarray, q: float, iters: int = 30) -> jnp.ndarray:
+    """Per-row q-quantile by bisection on the value domain.
+
+    O(iters * n) elementwise passes instead of an O(n log n) TPU sort —
+    the full sort was ~8.6 ms/step at B=128 (5% of the whole train step).
+    After `iters` halvings the bracket is (hi-lo)/2^30 wide, i.e. exact to
+    fp32 resolution for any realistically-scaled depth map.
+    """
+    lo = flat.min(axis=1)
+    hi = flat.max(axis=1)
+    target = q * flat.shape[1]
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        count = (flat <= mid[:, None]).sum(axis=1).astype(jnp.float32)
+        lo = jnp.where(count < target, mid, lo)
+        hi = jnp.where(count < target, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return 0.5 * (lo + hi)
+
+
+def standardize_depth(
+    depth: jnp.ndarray, eps: float = 1e-6, method: str = "bisect"
+) -> jnp.ndarray:
     """Truncated per-sample standardisation: drop bottom/top 10% of values,
     standardise by the middle 80%'s mean/var
-    (reference run_pretraining_multimae.py:488-492). NHWC."""
+    (reference run_pretraining_multimae.py:488-492). NHWC.
+
+    method='sort' reproduces the reference exactly (sorted-index slice);
+    'bisect' (default) selects by value thresholds at the 10%/90%
+    quantiles — identical for continuous data up to ties at the
+    thresholds, and ~8 ms/step faster on TPU at B=128.
+    """
     b = depth.shape[0]
-    flat = depth.reshape(b, -1)
+    flat = depth.reshape(b, -1).astype(jnp.float32)
     n = flat.shape[1]
-    sorted_flat = jnp.sort(flat, axis=1)
-    trunc = sorted_flat[:, int(0.1 * n) : int(0.9 * n)]
-    mean = trunc.mean(axis=1)[:, None, None, None]
-    var = trunc.var(axis=1)[:, None, None, None]
-    return (depth - mean) / jnp.sqrt(var + eps)
+    if method == "sort":
+        sorted_flat = jnp.sort(flat, axis=1)
+        trunc = sorted_flat[:, int(0.1 * n) : int(0.9 * n)]
+        mean = trunc.mean(axis=1)[:, None, None, None]
+        # torch .var() is unbiased (ddof=1)
+        var = trunc.var(axis=1, ddof=1)[:, None, None, None]
+    else:
+        lo = _quantile_bisect(flat, 0.1)
+        hi = _quantile_bisect(flat, 0.9)
+        inside = (flat > lo[:, None]) & (flat <= hi[:, None])
+        cnt = jnp.maximum(inside.sum(axis=1).astype(jnp.float32), 2.0)
+        s1 = jnp.where(inside, flat, 0.0).sum(axis=1)
+        s2 = jnp.where(inside, flat * flat, 0.0).sum(axis=1)
+        m = s1 / cnt
+        var_ = (s2 - cnt * m * m) / (cnt - 1.0)  # unbiased, like torch .var()
+        mean = m[:, None, None, None]
+        var = var_[:, None, None, None]
+    return ((depth - mean) / jnp.sqrt(var + eps)).astype(depth.dtype)
 
 
 def global_norm(tree: Any) -> jnp.ndarray:
