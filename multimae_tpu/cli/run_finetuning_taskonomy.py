@@ -1,0 +1,381 @@
+"""Taskonomy dense-regression fine-tuning CLI (TPU-native).
+
+Parity target: reference run_finetuning_taskonomy.py — rgb -> X for the 8
+Taskonomy dense tasks (depth/edges/keypoints/normal/curvature/reshading),
+DPT (or ConvNeXt) head, masked L1 loss against mask_valid, L1 eval.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import functools
+import math
+import os
+import sys
+import time
+
+import yaml
+
+# 9-domain table (reference run_finetuning_taskonomy.py:66-121); every
+# dense task trains with masked L1.
+TASKONOMY_DOMAINS = {
+    "rgb": 3,
+    "depth_euclidean": 1,
+    "depth_zbuffer": 1,
+    "edge_occlusion": 1,
+    "edge_texture": 1,
+    "keypoints2d": 1,
+    "keypoints3d": 1,
+    "normal": 3,
+    "principal_curvature": 2,
+    "reshading": 1,
+}
+
+
+def get_args(argv=None):
+    config_parser = argparse.ArgumentParser(add_help=False)
+    config_parser.add_argument("-c", "--config", default="", type=str, metavar="FILE")
+
+    parser = argparse.ArgumentParser("MultiMAE taskonomy fine-tuning script")
+    parser.add_argument("--batch_size", default=32, type=int)
+    parser.add_argument("--epochs", default=100, type=int)
+    parser.add_argument("--save_ckpt_freq", default=20, type=int)
+
+    parser.add_argument("--in_domains", default="rgb", type=str)
+    parser.add_argument("--out_domains", default="depth_zbuffer", type=str)
+    parser.add_argument("--use_mask_valid", action="store_true")
+    parser.add_argument("--no_mask_valid", action="store_false", dest="use_mask_valid")
+    parser.set_defaults(use_mask_valid=True)
+
+    parser.add_argument("--model", default="multivit_base", type=str)
+    parser.add_argument("--num_global_tokens", default=1, type=int)
+    parser.add_argument("--patch_size", default=16, type=int)
+    parser.add_argument("--input_size", default=256, type=int)
+    parser.add_argument("--drop_path_encoder", type=float, default=0.0)
+    parser.add_argument("--learnable_pos_emb", action="store_true")
+    parser.add_argument("--no_learnable_pos_emb", action="store_false", dest="learnable_pos_emb")
+    parser.set_defaults(learnable_pos_emb=False)
+    parser.add_argument("--output_adapter", type=str, default="dpt",
+                        choices=["dpt", "convnext"])
+    parser.add_argument("--decoder_main_tasks", type=str, default="rgb")
+
+    parser.add_argument("--opt", default="adamw", type=str)
+    parser.add_argument("--opt_eps", default=1e-8, type=float)
+    parser.add_argument("--opt_betas", default=[0.9, 0.999], type=float, nargs="+")
+    parser.add_argument("--clip_grad", type=float, default=None)
+    parser.add_argument("--momentum", type=float, default=0.9)
+    parser.add_argument("--weight_decay", type=float, default=1e-4)
+    parser.add_argument("--weight_decay_end", type=float, default=None)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--warmup_lr", type=float, default=1e-6)
+    parser.add_argument("--min_lr", type=float, default=0.0)
+    parser.add_argument("--layer_decay", type=float, default=0.75)
+    parser.add_argument("--warmup_epochs", type=int, default=1)
+    parser.add_argument("--warmup_steps", type=int, default=-1)
+
+    parser.add_argument("--finetune", default="")
+    parser.add_argument("--data_path", default="", type=str)
+    parser.add_argument("--variant", default="tiny", type=str,
+                        choices=["debug", "tiny", "medium", "full", "fullplus"])
+    parser.add_argument("--splits_dir", default=None, type=str,
+                        help="Directory containing <variant>_<split>.csv manifests")
+    parser.add_argument("--max_train_images", default=None, type=int)
+    parser.add_argument("--max_val_images", default=None, type=int)
+    parser.add_argument("--max_test_images", default=None, type=int)
+    parser.add_argument("--eval_freq", default=5, type=int)
+
+    parser.add_argument("--output_dir", default="")
+    parser.add_argument("--device", default="tpu")
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--resume", default="")
+    parser.add_argument("--auto_resume", action="store_true")
+    parser.add_argument("--no_auto_resume", action="store_false", dest="auto_resume")
+    parser.set_defaults(auto_resume=True)
+    parser.add_argument("--save_ckpt", action="store_true")
+    parser.add_argument("--no_save_ckpt", action="store_false", dest="save_ckpt")
+    parser.set_defaults(save_ckpt=True)
+    parser.add_argument("--start_epoch", default=0, type=int)
+    parser.add_argument("--eval", action="store_true")
+    parser.add_argument("--test", action="store_true")
+    parser.add_argument("--dist_eval", action="store_true", default=False)
+    parser.add_argument("--num_workers", default=16, type=int)
+    parser.add_argument("--pin_mem", action="store_true")
+    parser.add_argument("--no_pin_mem", action="store_false", dest="pin_mem")
+    parser.set_defaults(pin_mem=True)
+    parser.add_argument("--fp16", action="store_true")
+    parser.add_argument("--no_fp16", action="store_false", dest="fp16")
+    parser.set_defaults(fp16=True)
+
+    parser.add_argument("--log_wandb", default=False, action="store_true")
+    parser.add_argument("--wandb_project", default=None, type=str)
+    parser.add_argument("--wandb_entity", default=None, type=str)
+    parser.add_argument("--wandb_run_name", default=None, type=str)
+    parser.add_argument("--log_images_wandb", action="store_true")
+    parser.add_argument("--log_images_freq", default=5, type=int)
+    parser.add_argument("--show_user_warnings", default=False, action="store_true")
+
+    parser.add_argument("--world_size", default=1, type=int)
+    parser.add_argument("--local_rank", default=-1, type=int)
+    parser.add_argument("--dist_on_itp", action="store_true")
+    parser.add_argument("--dist_url", default="env://")
+
+    parser.add_argument("--synthetic_data", action="store_true")
+    parser.add_argument("--synthetic_steps_per_epoch", default=4, type=int)
+
+    args_config, remaining = config_parser.parse_known_args(argv)
+    if args_config.config:
+        with open(args_config.config, "r") as f:
+            cfg = yaml.safe_load(f)
+        known = {a.dest for a in parser._actions}
+        parser.set_defaults(**{k: v for k, v in cfg.items() if k in known})
+    return parser.parse_args(remaining)
+
+
+def build_taskonomy_model(args, dtype):
+    from multimae_tpu.models import (
+        ConvNeXtAdapter,
+        DPTOutputAdapter,
+        PatchedInputAdapter,
+    )
+    from multimae_tpu.models.registry import create_model
+
+    in_domains = args.in_domains.split("-")
+    out_domains = args.out_domains.split("-")
+    input_adapters = {
+        d: functools.partial(
+            PatchedInputAdapter, num_channels=TASKONOMY_DOMAINS[d], stride_level=1,
+            patch_size_full=args.patch_size, image_size=args.input_size,
+            learnable_pos_emb=args.learnable_pos_emb,
+        )
+        for d in in_domains
+    }
+    main_tasks = tuple(args.decoder_main_tasks.split("-"))
+    adapters_dict = {
+        "dpt": functools.partial(DPTOutputAdapter, head_type="regression"),
+        "convnext": functools.partial(ConvNeXtAdapter, preds_per_patch=64),
+    }
+    output_adapters = {
+        d: functools.partial(
+            adapters_dict[args.output_adapter],
+            num_classes=TASKONOMY_DOMAINS[d], stride_level=1,
+            patch_size=args.patch_size, main_tasks=main_tasks,
+        )
+        for d in out_domains
+    }
+    model = create_model(
+        args.model, input_adapters=input_adapters, output_adapters=output_adapters,
+        drop_path_rate=args.drop_path_encoder, dtype=dtype,
+    )
+    return model, in_domains, out_domains
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimae_tpu.data.loader import build_loader, steps_per_epoch
+    from multimae_tpu.data.taskonomy import TaskonomyDataset
+    from multimae_tpu.parallel import mesh as mesh_lib
+    from multimae_tpu.train.checkpoint import (
+        auto_load_checkpoint,
+        load_pretrained_torch,
+        save_checkpoint,
+    )
+    from multimae_tpu.train.finetune_step import (
+        make_dense_eval_step,
+        make_dense_train_step,
+    )
+    from multimae_tpu.train.optim_factory import (
+        LayerDecayValueAssigner,
+        create_optimizer,
+    )
+    from multimae_tpu.train.regression_losses import masked_l1_loss
+    from multimae_tpu.train.schedules import as_optax_schedule, cosine_scheduler
+    from multimae_tpu.train.train_state import TrainState
+    from multimae_tpu.utils.logger import MetricLogger, write_log_line
+
+    mesh_lib.initialize_distributed()
+    mesh = mesh_lib.create_mesh()
+    n_devices = jax.device_count()
+    dtype = jnp.bfloat16 if args.fp16 else jnp.float32
+
+    model, in_domains, out_domains = build_taskonomy_model(args, dtype)
+    task = out_domains[0]
+    all_domains = sorted(set(in_domains) | set(out_domains))
+    if args.use_mask_valid:
+        all_domains.append("mask_valid")
+    global_batch = args.batch_size * n_devices
+
+    def example_batch(b):
+        rng = np.random.default_rng(0)
+        s = args.input_size
+        out = {d: rng.standard_normal((b, s, s, TASKONOMY_DOMAINS[d])).astype(np.float32)
+               for d in set(in_domains)}
+        out["target"] = rng.standard_normal(
+            (b, s, s, TASKONOMY_DOMAINS[task])
+        ).astype(np.float32)
+        out["mask_valid"] = rng.random((b, s, s, 1)) > 0.2
+        return out
+
+    if args.synthetic_data:
+        num_steps_per_epoch = args.synthetic_steps_per_epoch
+    else:
+        dataset_train = TaskonomyDataset(
+            args.data_path, all_domains, split="train", variant=args.variant,
+            image_size=args.input_size, max_images=args.max_train_images,
+            splits_dir=args.splits_dir,
+        )
+        dataset_val = TaskonomyDataset(
+            args.data_path, all_domains, split="val", variant=args.variant,
+            image_size=args.input_size, max_images=args.max_val_images,
+            splits_dir=args.splits_dir,
+        )
+        num_steps_per_epoch = steps_per_epoch(len(dataset_train), global_batch)
+        train_loader = build_loader(
+            dataset_train, None, global_batch_size=global_batch,
+            shuffle=True, seed=args.seed, num_epochs=None,
+            worker_count=args.num_workers,
+        )
+
+    rng = jax.random.PRNGKey(args.seed)
+    ex = example_batch(2)
+    init_inputs = {d: jnp.asarray(ex[d]) for d in in_domains}
+    params = jax.jit(lambda: model.init({"params": rng}, init_inputs)["params"])()
+    if args.finetune:
+        params, _ = load_pretrained_torch(args.finetune, params)
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    print(f"params: {n_params / 1e6:.2f}M")
+
+    depth_layers = {"multivit_base": 12, "multivit_large": 24}[args.model]
+    assigner = None
+    if args.layer_decay < 1.0:
+        values = [args.layer_decay ** (depth_layers + 1 - i) for i in range(depth_layers + 2)]
+        assigner = LayerDecayValueAssigner(values)
+
+    lr_values = cosine_scheduler(
+        args.lr, args.min_lr, args.epochs, num_steps_per_epoch,
+        warmup_epochs=args.warmup_epochs, warmup_steps=args.warmup_steps,
+    )
+    wd_end = args.weight_decay_end if args.weight_decay_end is not None else args.weight_decay
+    wd_values = cosine_scheduler(args.weight_decay, wd_end, args.epochs,
+                                 num_steps_per_epoch)
+    tx = create_optimizer(
+        params, opt=args.opt, lr_schedule=as_optax_schedule(lr_values),
+        weight_decay=args.weight_decay, wd_schedule=as_optax_schedule(wd_values),
+        opt_betas=tuple(args.opt_betas), opt_eps=args.opt_eps,
+        momentum=args.momentum, layer_decay_assigner=assigner,
+        filter_bias_and_bn=True, learnable_pos_emb=args.learnable_pos_emb,
+    )
+    state = TrainState.create(params=params, tx=tx)
+    start_epoch = args.start_epoch
+    if args.auto_resume and args.output_dir:
+        state, start_epoch = auto_load_checkpoint(args.output_dir, state)
+    state = state.replace(
+        params=mesh_lib.replicate(state.params, mesh),
+        opt_state=mesh_lib.replicate(state.opt_state, mesh),
+    )
+
+    train_step = make_dense_train_step(
+        model, task, masked_l1_loss, in_domains=tuple(in_domains),
+        clip_grad=args.clip_grad, needs_target_kwargs=True,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+    jit_train = jax.jit(train_step, in_shardings=(repl, data_sh, repl),
+                        out_shardings=(repl, repl), donate_argnums=(0,))
+    eval_fwd = make_dense_eval_step(model, task, in_domains=tuple(in_domains))
+
+    def prepare_batch(b):
+        out = {d: b[d] for d in in_domains if d in b}
+        out["target"] = b.get("target", b.get(task))
+        if "mask_valid" in b:
+            out["mask_valid"] = b["mask_valid"]
+        return out
+
+    def run_eval():
+        loader = build_loader(
+            dataset_val, None, global_batch_size=global_batch,
+            shuffle=False, seed=0, num_epochs=1, worker_count=args.num_workers,
+            drop_remainder=False,
+        )
+        total, count = 0.0, 0
+        for b in loader:
+            prep = prepare_batch({k: v for k, v in b.items() if k != "label"})
+            pred = eval_fwd(state.params, jax.tree.map(jnp.asarray, prep))
+            l1 = masked_l1_loss(
+                pred.astype(jnp.float32), jnp.asarray(prep["target"]),
+                jnp.asarray(prep["mask_valid"]) if "mask_valid" in prep else None,
+            )
+            bs = pred.shape[0]
+            total += float(l1) * bs
+            count += bs
+        return {"l1": total / max(count, 1)}
+
+    if args.eval and not args.synthetic_data:
+        stats = run_eval()
+        print(f"* L1 {stats['l1']:.4f}")
+        return
+
+    step_rng = jax.random.PRNGKey(args.seed + 5)
+    best_l1 = float("inf")
+    print(f"Start training for {args.epochs} epochs")
+    start = time.time()
+    for epoch in range(start_epoch, args.epochs):
+        metric_logger = MetricLogger()
+        header = f"Epoch: [{epoch}]"
+
+        def train_batches():
+            for _ in range(num_steps_per_epoch):
+                if args.synthetic_data:
+                    yield prepare_batch(example_batch(global_batch))
+                else:
+                    b = next(train_loader)
+                    yield prepare_batch(
+                        {("target" if k == task else k): v for k, v in b.items()
+                         if k != "label"}
+                    )
+
+        for batch in metric_logger.log_every(
+            train_batches(), 20, header, total=num_steps_per_epoch
+        ):
+            dev = mesh_lib.shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+            state, metrics = jit_train(state, dev, step_rng)
+            loss_v = float(metrics["loss"])
+            if not math.isfinite(loss_v):
+                print(f"Loss is {loss_v}, stopping training")
+                sys.exit(1)
+            metric_logger.update(loss=loss_v, grad_norm=float(metrics["grad_norm"]))
+
+        metric_logger.synchronize_between_processes()
+        train_stats = {k: m.global_avg for k, m in metric_logger.meters.items()}
+        log_stats = {**{f"train_{k}": v for k, v in train_stats.items()},
+                     "epoch": epoch}
+
+        if not args.synthetic_data and (epoch + 1) % args.eval_freq == 0:
+            stats = run_eval()
+            print(f"* L1 {stats['l1']:.4f}")
+            if stats["l1"] < best_l1:
+                best_l1 = stats["l1"]
+                if args.output_dir and args.save_ckpt:
+                    save_checkpoint(args.output_dir, epoch, state,
+                                    args=vars(args), tag="checkpoint-best")
+            log_stats.update({"val_l1": stats["l1"], "best_l1": best_l1})
+
+        if args.output_dir and args.save_ckpt and (
+            (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs
+        ):
+            save_checkpoint(args.output_dir, epoch, state, args=vars(args))
+        write_log_line(args.output_dir, log_stats)
+
+    print(f"Training time {datetime.timedelta(seconds=int(time.time() - start))}")
+
+
+if __name__ == "__main__":
+    opts = get_args()
+    if opts.output_dir:
+        os.makedirs(opts.output_dir, exist_ok=True)
+    main(opts)
