@@ -126,6 +126,37 @@ def generate_random_masks(
     return out_masks, ids_keep, ids_restore
 
 
+def make_mask(
+    n_h: int,
+    n_w: int,
+    xy_idxs: Dict[str, Sequence],
+    full_tasks: Sequence[str] = (),
+    indicate_visible: bool = True,
+    flatten: bool = True,
+):
+    """Build per-task masks from lists of visible (x, y) patch coordinates.
+
+    Reference: multimae/multimae.py:220-248 (demo / manual-mask path).
+    Returns {task: (n_h, n_w) or (1, n_h*n_w)} int arrays; 0 = visible
+    when indicate_visible (note the reference's flag has inverted naming:
+    masks always use 0 = keep).
+    """
+    import numpy as np
+
+    task_masks = {k: np.ones((n_h, n_w), np.int32) for k in xy_idxs.keys()}
+    for k, coords in xy_idxs.items():
+        coords = np.asarray(list(coords), np.int64).reshape(-1, 2)
+        if len(coords):
+            task_masks[k][coords[:, 1], coords[:, 0]] = 0
+    for task in full_tasks:
+        task_masks[task][:] = 0
+    if not indicate_visible:
+        task_masks = {k: 1 - v for k, v in task_masks.items()}
+    if flatten:
+        task_masks = {k: v.reshape(1, -1) for k, v in task_masks.items()}
+    return {k: jnp.asarray(v) for k, v in task_masks.items()}
+
+
 def masks_to_indices(
     task_masks: Dict[str, jnp.ndarray], num_encoded_tokens: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
