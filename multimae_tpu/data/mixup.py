@@ -164,3 +164,49 @@ class Mixup:
             lam = self._mix_pair_or_elem(x, pair=(self.mode == "pair"))
         target = mixup_target(target, self.num_classes, lam, self.label_smoothing)
         return x, target
+
+
+class FastCollateMixup(Mixup):
+    """Collate-time mixup on uint8 samples (reference utils/mixup.py:230-322).
+
+    Takes a list of (HWC uint8 array, int label) samples, mixes while
+    stacking (saving a float copy of the batch), returns (float32 batch,
+    soft targets).
+    """
+
+    def __call__(self, samples, target=None):
+        if target is None:
+            arrs = [np.asarray(s[0]) for s in samples]
+            labels = np.asarray([s[1] for s in samples])
+        else:
+            arrs = [np.asarray(s) for s in samples]
+            labels = np.asarray(target)
+        batch = len(arrs)
+        assert batch % 2 == 0, "Batch size should be even when using this"
+        out = np.zeros((batch,) + arrs[0].shape, np.float32)
+
+        if self.mode == "batch":
+            lam, use_cutmix = self._params_per_batch()
+            if use_cutmix and lam != 1.0:
+                (yl, yh, xl, xh), lam = cutmix_bbox_and_lam(
+                    arrs[0].shape, lam, self.cutmix_minmax, self.correct_lam, self.rng
+                )
+                yl, yh, xl, xh = (int(np.asarray(v).reshape(-1)[0])
+                                  for v in (yl, yh, xl, xh))
+            for i in range(batch):
+                j = batch - i - 1
+                mixed = arrs[i].astype(np.float32)
+                if lam != 1.0:
+                    if use_cutmix:
+                        mixed = mixed.copy()
+                        mixed[yl:yh, xl:xh] = arrs[j][yl:yh, xl:xh]
+                    else:
+                        mixed = mixed * lam + arrs[j].astype(np.float32) * (1 - lam)
+                out[i] = mixed
+        else:
+            # pair/elem fall back to stacking + the tensor-mode mixer.
+            out = np.stack([a.astype(np.float32) for a in arrs])
+            lam = self._mix_pair_or_elem(out, pair=(self.mode == "pair"))
+
+        soft = mixup_target(labels, self.num_classes, lam, self.label_smoothing)
+        return out, soft
