@@ -59,6 +59,19 @@ def make_dataset(
 def pil_loader(path: str, convert_rgb: bool = True):
     from PIL import Image
 
+    if convert_rgb and path.lower().endswith((".jpg", ".jpeg")):
+        # Native libjpeg-turbo fast path (multimae_tpu/native); identical
+        # pixels to PIL's decoder, avoids PIL mode plumbing.
+        try:
+            from multimae_tpu import native
+
+            if native.available():
+                with open(path, "rb") as f:
+                    arr = native.decode_jpeg(f.read())
+                if arr is not None:
+                    return Image.fromarray(arr, "RGB")
+        except Exception:
+            pass
     with open(path, "rb") as f:
         img = Image.open(f)
         return img.convert("RGB") if convert_rgb else img.copy()
