@@ -27,6 +27,9 @@ WARMUP = 3
 
 
 def main():
+    from multimae_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
     import jax
     import jax.numpy as jnp
 

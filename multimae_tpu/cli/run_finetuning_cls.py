@@ -184,6 +184,9 @@ def evaluate(eval_step, params, loader, n_batches=None):
 
 
 def main(args):
+    from multimae_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -178,6 +178,9 @@ def build_depth_model(args, dtype):
 
 
 def main(args):
+    from multimae_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
     import jax
     import jax.numpy as jnp
     import numpy as np

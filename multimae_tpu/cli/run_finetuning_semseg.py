@@ -225,6 +225,9 @@ def seg_cross_entropy(logits, target, ignore_index=SEG_IGNORE_INDEX):
 
 
 def main(args):
+    from multimae_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
     import jax
     import jax.numpy as jnp
     import numpy as np

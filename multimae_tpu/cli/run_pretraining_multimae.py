@@ -145,6 +145,9 @@ def get_args(argv=None):
 
 
 def main(args):
+    from multimae_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
     import jax
     import jax.numpy as jnp
     import numpy as np
