@@ -53,7 +53,8 @@ def main():
     batch_size = BATCH * n_chips
 
     model = build_pretrain_model(
-        dtype=jnp.bfloat16, fp32_output_adapters=("semseg",)
+        dtype=jnp.bfloat16, fp32_output_adapters=("semseg",),
+        decoder_return_patches=True,
     )
     losses = build_pretrain_losses(("rgb", "depth", "semseg"))
     batch = make_synthetic_batch(batch_size)

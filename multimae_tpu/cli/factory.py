@@ -72,8 +72,13 @@ def build_pretrain_model(
     drop_path: float = 0.0,
     fp32_output_adapters: Sequence[str] = (),
     dtype=jnp.float32,
+    decoder_return_patches: bool = False,
 ):
-    """Reference get_model (run_pretraining_multimae.py:243-293)."""
+    """Reference get_model (run_pretraining_multimae.py:243-293).
+
+    decoder_return_patches=True is the training fast path: decoders emit
+    (B, N, C*p*p) token patches and the masked losses consume them
+    directly (mathematically identical; skips pixel-space reshapes)."""
     input_adapters = {
         d: functools.partial(
             DOMAIN_CONF[d]["input_adapter"],
@@ -97,6 +102,7 @@ def build_pretrain_model(
             task=task,
             context_tasks=tuple(in_domains),
             use_xattn=decoder_use_xattn,
+            return_patches=decoder_return_patches,
         )
 
     output_adapters = {d: out_spec(d, d) for d in out_domains}

@@ -198,6 +198,10 @@ def main(args):
         drop_path=args.drop_path,
         fp32_output_adapters=fp32_adapters,
         dtype=dtype,
+        # Training fast path: decoders emit token patches; the masked
+        # losses consume them directly (verified identical in
+        # tests/test_patch_losses.py).
+        decoder_return_patches=True,
     )
     tasks_loss_fn = build_pretrain_losses(
         out_domains, patch_size=args.patch_size,

@@ -64,6 +64,10 @@ class SpatialOutputAdapter(nn.Module):
     context_tasks: Optional[Sequence[str]] = None
     use_xattn: bool = True
     dtype: Dtype = jnp.float32
+    # Training fast path: return (B, N, C*P_H*P_W) token patches instead of
+    # the NHWC image, skipping the 6-D unpatchify transpose (the masked
+    # losses consume patches directly; see criterion.py patch-space paths).
+    return_patches: bool = False
 
     @property
     def patch_hw(self) -> Tuple[int, int]:
@@ -278,6 +282,8 @@ class SpatialOutputAdapter(nn.Module):
             x = blk(x, deterministic=not train)
 
         x = self.out_proj(x)
+        if self.return_patches:
+            return x  # (B, nh*nw, C*ph*pw), (c, ph, pw) minor order
         # (B, nh*nw, C*ph*pw) -> NHWC image; patch minor order is (c, ph, pw)
         # to match the reference's rearrange (output_adapters.py:276-280).
         b = x.shape[0]

@@ -61,7 +61,9 @@ def install_reference_import_shim():
     import types
 
     if REFERENCE_DIR not in sys.path:
-        sys.path.insert(0, REFERENCE_DIR)
+        # APPEND, not insert: the reference also has top-level `tools/`
+        # which must not shadow ours (repo root stays first).
+        sys.path.append(REFERENCE_DIR)
     if "utils" not in sys.modules or not getattr(
         sys.modules["utils"], "__reference_shim__", False
     ):
