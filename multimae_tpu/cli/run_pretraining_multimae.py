@@ -129,6 +129,11 @@ def get_args(argv=None):
     parser.add_argument("--dist_on_itp", action="store_true")
     parser.add_argument("--dist_url", default="env://")
 
+    # TPU scaling
+    parser.add_argument("--fsdp", action="store_true",
+                        help="Shard params + optimizer state over the data "
+                             "axis (ZeRO-3 analogue via GSPMD)")
+
     # Synthetic-data mode for benchmarking / smoke tests without a dataset
     parser.add_argument("--synthetic_data", action="store_true",
                         help="Train on random data (no --data_path needed)")
@@ -280,10 +285,15 @@ def main(args):
     if args.auto_resume and args.output_dir:
         state, start_epoch = auto_load_checkpoint(args.output_dir, state)
 
-    state = state.replace(
-        params=mesh_lib.replicate(state.params, mesh),
-        opt_state=mesh_lib.replicate(state.opt_state, mesh),
-    )
+    if args.fsdp:
+        from multimae_tpu.parallel.fsdp import shard_state_fsdp
+
+        state = shard_state_fsdp(state, mesh)
+    else:
+        state = state.replace(
+            params=mesh_lib.replicate(state.params, mesh),
+            opt_state=mesh_lib.replicate(state.opt_state, mesh),
+        )
 
     step_fn = make_pretrain_train_step(
         model, balancer, tasks_loss_fn,
@@ -297,7 +307,12 @@ def main(args):
         clip_grad=args.clip_grad,
         skip_grad=args.skip_grad,
     )
-    dp_step = jit_data_parallel(step_fn, mesh)
+    if args.fsdp:
+        from multimae_tpu.parallel.fsdp import jit_fsdp
+
+        dp_step = jit_fsdp(step_fn, state, mesh)
+    else:
+        dp_step = jit_data_parallel(step_fn, mesh)
 
     log_writer = WandbLogger(args) if (args.log_wandb and mesh_lib.is_main_process()) else None
 
