@@ -151,14 +151,18 @@ def build_taskonomy_model(args, dtype):
         for d in in_domains
     }
     main_tasks = tuple(args.decoder_main_tasks.split("-"))
+    # ConvNeXtAdapter has no stride_level arg (the reference version
+    # swallows it via **kwargs); only DPT takes it.
     adapters_dict = {
-        "dpt": functools.partial(DPTOutputAdapter, head_type="regression"),
+        "dpt": functools.partial(
+            DPTOutputAdapter, head_type="regression", stride_level=1
+        ),
         "convnext": functools.partial(ConvNeXtAdapter, preds_per_patch=64),
     }
     output_adapters = {
         d: functools.partial(
             adapters_dict[args.output_adapter],
-            num_classes=TASKONOMY_DOMAINS[d], stride_level=1,
+            num_classes=TASKONOMY_DOMAINS[d],
             patch_size=args.patch_size, main_tasks=main_tasks,
         )
         for d in out_domains

@@ -262,7 +262,7 @@ def main(args):
     )()
     bal_params = balancer.init(
         jax.random.PRNGKey(0), {t: jnp.zeros(()) for t in out_tasks}
-    )["params"]
+    ).get("params", {})  # NoWeightingStrategy has no params
     params = {"model": model_params, "balancer": bal_params}
     n_params = sum(p.size for p in jax.tree.leaves(params))
     print(f"params: {n_params / 1e6:.2f}M")

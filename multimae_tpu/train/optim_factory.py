@@ -136,32 +136,34 @@ def build_param_labels(
     learnable_pos_emb: bool = False,
     verbose: bool = False,
 ) -> Tuple[Any, Any, Dict[str, Any]]:
-    """Compute (lr_scales, wd_flags) static trees + a group report."""
-    import flax
+    """Compute (lr_scales, wd_flags) static trees + a group report.
 
-    flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(params), sep=None)
-    lr_scales = {}
-    wd_flags = {}
+    Built with tree_map_with_path (NOT flatten/unflatten) so empty
+    subtrees — e.g. a param-less NoWeighting balancer under
+    {'model': ..., 'balancer': {}} — keep their place in the tree
+    structure and jax.tree.map over (updates, params, flags) stays
+    congruent.
+    """
+    from jax.tree_util import tree_map_with_path
+
     groups: Dict[str, list] = {}
-    for path, leaf in flat.items():
-        path = tuple(path)
-        name = ".".join(path)
+    labels: Dict[Tuple[str, ...], Tuple[float, float]] = {}
+
+    def compute(path_keys, leaf):
+        path = tuple(
+            getattr(k, "key", getattr(k, "name", str(k))) for k in path_keys
+        )
+        name = ".".join(str(p) for p in path)
         if frozen_fn(path, leaf, learnable_pos_emb=learnable_pos_emb):
-            lr_scales[path] = 0.0
-            wd_flags[path] = 0.0
             groups.setdefault("frozen", []).append(name)
-            continue
+            return (0.0, 0.0)
         if path[0] == "balancer":
-            lr_scales[path] = balancer_lr_scale
-            wd_flags[path] = 1.0 if not filter_bias_and_bn else 0.0
             groups.setdefault("balancer", []).append(name)
-            continue
+            return (balancer_lr_scale, 1.0 if not filter_bias_and_bn else 0.0)
         if not filter_bias_and_bn:
             # pretrain dict-model quirk: global wd, lr_scale 1
-            lr_scales[path] = 1.0
-            wd_flags[path] = 1.0
             groups.setdefault("flat_decay", []).append(name)
-            continue
+            return (1.0, 1.0)
         no_decay = (skip_list is not None and name in skip_list) or no_decay_fn(
             path, leaf
         )
@@ -172,14 +174,18 @@ def build_param_labels(
         else:
             scale = 1.0
             gname = "no_decay" if no_decay else "decay"
-        lr_scales[path] = float(scale)
-        wd_flags[path] = 0.0 if no_decay else 1.0
         groups.setdefault(gname, []).append(name)
+        return (float(scale), 0.0 if no_decay else 1.0)
+
+    both = tree_map_with_path(compute, params)
+    lr_scales = jax.tree.map(lambda t: t[0], both,
+                             is_leaf=lambda x: isinstance(x, tuple))
+    wd_flags = jax.tree.map(lambda t: t[1], both,
+                            is_leaf=lambda x: isinstance(x, tuple))
     if verbose:
         for g, names in sorted(groups.items()):
             print(f"[optim] group {g}: {len(names)} params")
-    unflatten = flax.traverse_util.unflatten_dict
-    return unflatten(lr_scales), unflatten(wd_flags), groups
+    return lr_scales, wd_flags, groups
 
 
 def create_optimizer(
