@@ -182,6 +182,14 @@ def main(args):
     n_devices = jax.device_count()
     print(f"devices: {n_devices} ({jax.devices()[0].platform})")
 
+    if args.batch_size > 128:
+        # fp32 softmax residuals don't fit 16GB HBM at B>=256; recompute
+        # them in the backward pass (~8% step time, measured on v5e).
+        from multimae_tpu.ops.attention import set_attention_remat
+
+        set_attention_remat(True)
+        print("[setup] attention rematerialization enabled (batch > 128)")
+
     in_domains = args.in_domains.split("-")
     out_domains = args.out_domains.split("-")
     fp32_adapters = [t for t in args.fp32_output_adapters.split("-") if t]

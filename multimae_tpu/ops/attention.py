@@ -59,6 +59,26 @@ def einsum_attention(q, k, v, sm_scale: float) -> jnp.ndarray:
     return out.astype(q.dtype)
 
 
+# Rematerialized variant: autodiff otherwise saves the fp32 (B, H, N, N)
+# softmax tensor of EVERY layer as a residual — ~6 GB at B=256 for the
+# ViT-B pretrain model (measured HBM OOM dump). Recomputing the softmax in
+# the backward pass keeps only q/k/v (bf16) live between fwd and bwd.
+# Cost on v5e: ~8% step time at B=128; REQUIRED to fit B>=256 on 16GB.
+einsum_attention_remat = jax.checkpoint(einsum_attention, static_argnums=(3,))
+
+_REMAT_ATTENTION = False
+
+
+def set_attention_remat(enabled: bool):
+    """Trade ~8% step time for O(B*H*N^2) fp32 activation memory.
+
+    Must be set BEFORE tracing/jitting the model (read at trace time).
+    The pretraining CLI enables it automatically for batch sizes > 128.
+    """
+    global _REMAT_ATTENTION
+    _REMAT_ATTENTION = bool(enabled)
+
+
 def flash_attention_padded(q, k, v, sm_scale: float) -> jnp.ndarray:
     """Pallas flash attention with 128-multiple padding + segment masking."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -111,4 +131,6 @@ def fused_attention(q, k, v, sm_scale: float) -> jnp.ndarray:
     """q: (B, H, Nq, D), k/v: (B, H, Nk, D) -> (B, H, Nq, D)."""
     if _use_flash(q, k):
         return flash_attention_padded(q, k, v, sm_scale)
+    if _REMAT_ATTENTION:
+        return einsum_attention_remat(q, k, v, sm_scale)
     return einsum_attention(q, k, v, sm_scale)

@@ -133,13 +133,18 @@ def make_pretrain_train_step(
             task_losses = {}
             for task, pred in preds.items():
                 target = targets[task]
+                # remat: the semseg CE's fp32 log-softmax residual alone is
+                # ~400MB at B=256; losses are trivially cheap to recompute.
+                loss_f = jax.checkpoint(
+                    lambda p, t, m, _f=tasks_loss_fn[task]: _f(p, t, mask=m)
+                )
                 if loss_on_unmasked:
-                    task_losses[task] = tasks_loss_fn[task](
-                        pred.astype(jnp.float32), target
+                    task_losses[task] = loss_f(
+                        pred.astype(jnp.float32), target, None
                     )
                 else:
-                    task_losses[task] = tasks_loss_fn[task](
-                        pred.astype(jnp.float32), target, mask=masks.get(task, None)
+                    task_losses[task] = loss_f(
+                        pred.astype(jnp.float32), target, masks.get(task, None)
                     )
 
             weighted = balancer.apply({"params": params["balancer"]}, task_losses)
