@@ -354,7 +354,13 @@ def main(args):
         ema_decay=args.model_ema_decay if args.model_ema else None,
     )
     start_epoch = args.start_epoch
-    if args.auto_resume and args.output_dir:
+    if args.resume:
+        from multimae_tpu.train.checkpoint import load_checkpoint
+
+        state, last_epoch = load_checkpoint(args.resume, state)
+        start_epoch = last_epoch + 1
+        print(f"[checkpoint] resumed from {args.resume} (epoch {last_epoch})")
+    elif args.auto_resume and args.output_dir:
         state, start_epoch = auto_load_checkpoint(args.output_dir, state)
 
     state = state.replace(

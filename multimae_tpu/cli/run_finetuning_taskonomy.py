@@ -277,7 +277,13 @@ def main(args):
     )
     state = TrainState.create(params=params, tx=tx)
     start_epoch = args.start_epoch
-    if args.auto_resume and args.output_dir:
+    if args.resume:
+        from multimae_tpu.train.checkpoint import load_checkpoint
+
+        state, last_epoch = load_checkpoint(args.resume, state)
+        start_epoch = last_epoch + 1
+        print(f"[checkpoint] resumed from {args.resume} (epoch {last_epoch})")
+    elif args.auto_resume and args.output_dir:
         state, start_epoch = auto_load_checkpoint(args.output_dir, state)
     state = state.replace(
         params=mesh_lib.replicate(state.params, mesh),
