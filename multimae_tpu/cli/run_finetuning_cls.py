@@ -167,16 +167,20 @@ def evaluate(eval_step, params, loader, n_batches=None):
 
     from multimae_tpu.utils.metrics import accuracy
 
-    top1s, top5s, losses, count = [], [], [], 0
-    for i, batch in enumerate(loader):
+    top1s, top5s, count = [], [], 0
+    for i, item in enumerate(loader):
         if n_batches is not None and i >= n_batches:
             break
+        batch, n_valid = item if isinstance(item, tuple) else (item, None)
         logits = eval_step(params, batch)
-        t1, t5 = accuracy(logits, batch["target"], topk=(1, 5))
-        bs = batch["target"].shape[0]
-        top1s.append(float(t1) * bs)
-        top5s.append(float(t5) * bs)
-        count += bs
+        if n_valid is None:
+            n_valid = batch["target"].shape[0]
+        t1, t5 = accuracy(
+            logits[:n_valid], batch["target"][:n_valid], topk=(1, 5)
+        )
+        top1s.append(float(t1) * n_valid)
+        top5s.append(float(t5) * n_valid)
+        count += n_valid
     return {
         "acc1": sum(top1s) / max(count, 1),
         "acc5": sum(top5s) / max(count, 1),
@@ -468,6 +472,11 @@ class _ClsDatasetAdapter:
 
 
 def _to_eval_batches(loader, mesh, args, global_batch):
+    """Yields (sharded_batch, n_valid): the last partial batch is padded
+    up to global_batch by repeating row 0; n_valid lets the metric ignore
+    the padding (the reference pads via DistributedSampler duplicates)."""
+    import numpy as np
+
     import jax.numpy as jnp
 
     from multimae_tpu.parallel import mesh as mesh_lib
@@ -477,11 +486,17 @@ def _to_eval_batches(loader, mesh, args, global_batch):
             x, y = b["image"], b["label"]
         else:
             x, y = b["rgb"], b["target"]
+        x, y = np.asarray(x), np.asarray(y)
         n = x.shape[0]
-        if n < global_batch:  # pad last partial batch, mask via slicing later
-            continue
-        yield mesh_lib.shard_batch(
-            {"rgb": jnp.asarray(x), "target": jnp.asarray(y)}, mesh
+        if n < global_batch:
+            reps = global_batch - n
+            x = np.concatenate([x, np.repeat(x[:1], reps, axis=0)], axis=0)
+            y = np.concatenate([y, np.repeat(y[:1], reps, axis=0)], axis=0)
+        yield (
+            mesh_lib.shard_batch(
+                {"rgb": jnp.asarray(x), "target": jnp.asarray(y)}, mesh
+            ),
+            n,
         )
 
 
