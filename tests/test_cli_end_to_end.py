@@ -1,0 +1,96 @@
+"""End-to-end CLI tests: tiny models, synthetic + real on-disk data, CPU.
+
+These guard the integration seams (argparse/YAML -> factory -> loader ->
+jitted step -> checkpoint) that unit tests can't see. Marked slow-ish
+(~2-3 min total on CPU).
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("MULTIMAE_RUN_SLOW_TESTS") != "1",
+    reason="slow CLI end-to-end tests; set MULTIMAE_RUN_SLOW_TESTS=1",
+)
+
+TINY_PRETRAIN = [
+    "--synthetic_data", "--synthetic_steps_per_epoch", "2",
+    "--epochs", "1", "--warmup_epochs", "0", "--batch_size", "2",
+    "--input_size", "64", "--num_encoded_tokens", "12",
+    "--decoder_dim", "64", "--decoder_depth", "1", "--decoder_num_heads", "4",
+    "--dtype", "float32", "--no_auto_resume",
+]
+
+
+@pytest.fixture(scope="module")
+def fake_multitask_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cli_ds"))
+    rng = np.random.default_rng(0)
+    for i in range(10):
+        cls = f"c{i % 2}"
+        for task in ("rgb", "depth", "semseg", "mask_valid"):
+            os.makedirs(f"{root}/{task}/{cls}", exist_ok=True)
+        name = f"i{i:02d}"
+        Image.fromarray(rng.integers(0, 255, (96, 128, 3), dtype=np.uint8),
+                        "RGB").save(f"{root}/rgb/{cls}/{name}.jpg")
+        Image.fromarray(rng.integers(0, 60000, (96, 128), dtype=np.uint16)
+                        ).save(f"{root}/depth/{cls}/{name}.png")
+        Image.fromarray(rng.integers(0, 10, (96, 128), dtype=np.uint8),
+                        "L").convert("P").save(f"{root}/semseg/{cls}/{name}.png")
+        Image.fromarray((rng.random((96, 128)) > 0.1).astype(np.uint8) * 255,
+                        "L").save(f"{root}/mask_valid/{cls}/{name}.png")
+    return root
+
+
+def test_pretraining_cli_synthetic(tmp_path):
+    from multimae_tpu.cli.run_pretraining_multimae import get_args, main
+
+    out = str(tmp_path / "out")
+    args = get_args(TINY_PRETRAIN + [
+        "--output_dir", out, "--save_ckpt_freq", "1",
+        "--task_balancer", "uncertainty",
+    ])
+    main(args)
+    assert os.path.exists(os.path.join(out, "checkpoint-0.msgpack"))
+    assert os.path.exists(os.path.join(out, "log.txt"))
+
+
+def test_pretraining_cli_default_balancer_none(tmp_path):
+    # regression: NoWeighting balancer has no params (was a KeyError)
+    from multimae_tpu.cli.run_pretraining_multimae import get_args, main
+
+    args = get_args(TINY_PRETRAIN)
+    main(args)
+
+
+def test_pretraining_cli_real_data(fake_multitask_root, tmp_path):
+    from multimae_tpu.cli.run_pretraining_multimae import get_args, main
+
+    args = get_args([
+        "--data_path", fake_multitask_root,
+        "--epochs", "1", "--warmup_epochs", "0", "--batch_size", "4",
+        "--input_size", "64", "--num_encoded_tokens", "12",
+        "--decoder_dim", "64", "--decoder_depth", "1",
+        "--decoder_num_heads", "4", "--dtype", "float32",
+        "--num_workers", "0", "--no_auto_resume",
+        "--standardize_depth",
+    ])
+    main(args)
+
+
+def test_semseg_cli_real_data_with_eval(fake_multitask_root):
+    from multimae_tpu.cli.run_finetuning_semseg import get_args, main
+
+    args = get_args([
+        "--data_path", fake_multitask_root,
+        "--eval_data_path", fake_multitask_root,
+        "--epochs", "1", "--warmup_epochs", "0", "--batch_size", "2",
+        "--input_size", "64", "--num_classes", "10",
+        "--decoder_dim", "384", "--decoder_depth", "1",
+        "--output_adapter", "convnext", "--no_fp16", "--no_auto_resume",
+        "--num_workers", "0", "--eval_freq", "1", "--no_save_ckpt",
+    ])
+    main(args)
