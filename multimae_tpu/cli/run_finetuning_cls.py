@@ -325,7 +325,7 @@ def main(args):
     print(f"params: {n_params / 1e6:.2f}M")
 
     # Optimizer: layer decay over depth+2 values (reference :369-374)
-    depth = {"multivit_base": 12, "multivit_large": 24}[args.model]
+    depth = model.depth  # encoder depth (get_num_layers equivalent)
     assigner = None
     if args.layer_decay < 1.0:
         values = [args.layer_decay ** (depth + 1 - i) for i in range(depth + 2)]

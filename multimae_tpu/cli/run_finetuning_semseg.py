@@ -331,7 +331,7 @@ def main(args):
     n_params = sum(p.size for p in jax.tree.leaves(params))
     print(f"params: {n_params / 1e6:.2f}M")
 
-    depth_layers = {"multivit_base": 12, "multivit_large": 24}[args.model]
+    depth_layers = model.depth  # encoder depth (get_num_layers equivalent)
     assigner = None
     if args.layer_decay < 1.0:
         values = [args.layer_decay ** (depth_layers + 1 - i) for i in range(depth_layers + 2)]

@@ -325,3 +325,23 @@ def multivit_large(input_adapters, output_adapters, **kwargs):
         dim_tokens=1024, depth=24, num_heads=16, mlp_ratio=4.0, qkv_bias=True,
         **kwargs,
     )
+
+
+# Tiny variants (not in the reference registry): CI smoke tests and CPU
+# debugging; same structure as base at 1/12 the size.
+@register_model
+def pretrain_multimae_tiny(input_adapters, output_adapters, **kwargs):
+    return MultiMAE(
+        input_adapters=input_adapters, output_adapters=output_adapters,
+        dim_tokens=64, depth=2, num_heads=4, mlp_ratio=4.0, qkv_bias=True,
+        **kwargs,
+    )
+
+
+@register_model
+def multivit_tiny(input_adapters, output_adapters, **kwargs):
+    return MultiViT(
+        input_adapters=input_adapters, output_adapters=output_adapters,
+        dim_tokens=64, depth=2, num_heads=4, mlp_ratio=4.0, qkv_bias=True,
+        **kwargs,
+    )

@@ -17,6 +17,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 TINY_PRETRAIN = [
+    "--model", "pretrain_multimae_tiny",
     "--synthetic_data", "--synthetic_steps_per_epoch", "2",
     "--epochs", "1", "--warmup_epochs", "0", "--batch_size", "2",
     "--input_size", "64", "--num_encoded_tokens", "12",
@@ -70,6 +71,7 @@ def test_pretraining_cli_real_data(fake_multitask_root, tmp_path):
     from multimae_tpu.cli.run_pretraining_multimae import get_args, main
 
     args = get_args([
+        "--model", "pretrain_multimae_tiny",
         "--data_path", fake_multitask_root,
         "--epochs", "1", "--warmup_epochs", "0", "--batch_size", "4",
         "--input_size", "64", "--num_encoded_tokens", "12",
@@ -85,6 +87,7 @@ def test_semseg_cli_real_data_with_eval(fake_multitask_root):
     from multimae_tpu.cli.run_finetuning_semseg import get_args, main
 
     args = get_args([
+        "--model", "multivit_tiny",
         "--data_path", fake_multitask_root,
         "--eval_data_path", fake_multitask_root,
         "--epochs", "1", "--warmup_epochs", "0", "--batch_size", "2",
