@@ -212,7 +212,10 @@ class MaskedCrossEntropyLoss:
         nh, nw = h // p, w // p
         tgt = target.reshape(b, nh, p, nw, p).transpose(0, 1, 3, 2, 4)
         tgt = tgt.reshape(b, n, p * p)
-        nll = -jnp.take_along_axis(logp, tgt[:, :, None, :], axis=2)[:, :, 0, :]
+        # one-hot multiply instead of take_along_axis: the gather's
+        # backward is a serialized scatter on TPU.
+        onehot = jax.nn.one_hot(tgt, num_classes, axis=2, dtype=logp.dtype)
+        nll = -(onehot * logp).sum(axis=2)
         if self.label_smoothing > 0.0:
             smooth = -logp.mean(axis=2)
             nll = (1.0 - self.label_smoothing) * nll + self.label_smoothing * smooth

@@ -194,7 +194,16 @@ class SemSegInputAdapter(nn.Module):
             # zero as well.
             class_emb = class_emb.at[self.emb_padding_idx].set(0.0)
 
-        emb = jnp.take(class_emb, x, axis=0).astype(self.dtype)  # (B, H, W, 64)
+        # One-hot matmul instead of jnp.take: the lookup's backward is a
+        # scatter-add of B*H*W rows into num_classes rows, measured at
+        # ~8.6 ms/step (6%) for the ViT-B pretrain recipe; as a matmul both
+        # directions run on the MXU. Bit-exact (single 1.0 term per row,
+        # fp32 accumulation).
+        onehot = jax.nn.one_hot(x, self.total_classes, dtype=self.dtype)
+        emb = jnp.einsum(
+            "bhwc,cd->bhwd", onehot, class_emb.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)  # (B, H, W, 64)
 
         if self.interpolate_class_emb:
             # Reference downsamples embeddings bilinearly then 1x1-projects
