@@ -129,6 +129,10 @@ def get_args(argv=None):
     parser.add_argument("--dist_on_itp", action="store_true")
     parser.add_argument("--dist_url", default="env://")
 
+    parser.add_argument("--approx_gelu", action="store_true",
+                        help="tanh-approximate GELU (~4%% faster step; the "
+                             "reference uses exact erf)")
+
     # TPU scaling
     parser.add_argument("--fsdp", action="store_true",
                         help="Shard params + optimizer state over the data "
@@ -181,6 +185,11 @@ def main(args):
     mesh = mesh_lib.create_mesh()
     n_devices = jax.device_count()
     print(f"devices: {n_devices} ({jax.devices()[0].platform})")
+
+    if args.approx_gelu:
+        from multimae_tpu.models.vit import set_approx_gelu
+
+        set_approx_gelu(True)
 
     if args.batch_size > 128:
         # fp32 softmax residuals don't fit 16GB HBM at B>=256; recompute

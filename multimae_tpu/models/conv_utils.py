@@ -19,7 +19,7 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from multimae_tpu.models.vit import Dtype, LayerNorm, trunc_normal_02
+from multimae_tpu.models.vit import Dtype, LayerNorm, gelu, trunc_normal_02
 from multimae_tpu.ops.resize import interpolate_2d
 
 
@@ -50,7 +50,7 @@ class ConvNeXtBlock(nn.Module):
             kernel_init=trunc_normal_02,
             name="pwconv1",
         )(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.Dense(
             self.dim,
             dtype=self.dtype,
