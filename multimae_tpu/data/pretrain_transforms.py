@@ -101,6 +101,15 @@ class DataAugmentationForMultiMAE:
             if ijhw is None:
                 ijhw = random_resized_crop_params(img.height, img.width, rng=rng)
             i, j, h, w = ijhw
+
+            if task == "rgb":
+                # Native fused crop + antialiased bicubic resize + flip +
+                # normalize (multimae_tpu/native); PIL fallback below.
+                arr = self._native_rgb(img, (i, j, h, w), s, flip)
+                if arr is not None:
+                    out[task] = arr
+                    continue
+
             img = img.crop((j, i, j + w, i + h))
             img = img.resize((s, s))  # PIL default filter; NEAREST for 'P'
             if flip:
@@ -119,3 +128,16 @@ class DataAugmentationForMultiMAE:
             else:
                 out[task] = np.asarray(img, dtype=np.float32)
         return out
+
+    def _native_rgb(self, img, crop, size, flip):
+        try:
+            from multimae_tpu import native
+
+            if not native.available():
+                return None
+            return native.crop_resize_normalize(
+                np.asarray(img), crop, (size, size),
+                self.rgb_mean, self.rgb_std, bicubic=True, hflip=flip,
+            )
+        except Exception:
+            return None

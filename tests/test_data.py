@@ -120,3 +120,24 @@ def test_single_imagefolder(fake_dataset):
     assert len(ds) == 8
     img, target = ds[0]
     assert img.mode == "RGB"
+
+
+def test_native_rgb_path_close_to_pil(fake_dataset):
+    from multimae_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native fastimage unavailable")
+    import random
+
+    ds = MultiTaskImageFolder(fake_dataset, ["rgb", "depth", "semseg"])
+    tf = DataAugmentationForMultiMAE(input_size=32, hflip=0.5)
+    sample, _ = ds[0]
+    out_native = tf(dict(sample), rng=random.Random(3))
+    tf_pil = DataAugmentationForMultiMAE(input_size=32, hflip=0.5)
+    tf_pil._native_rgb = lambda *a, **k: None
+    out_pil = tf_pil(dict(sample), rng=random.Random(3))
+    # PIL uses 8-bit fixed-point resample coefficients; ours float
+    assert np.abs(out_native["rgb"] - out_pil["rgb"]).mean() < 0.05
+    np.testing.assert_array_equal(out_native["semseg"], out_pil["semseg"])
