@@ -329,10 +329,79 @@ def auto_augment_transform(config_str: str, hparams: Optional[Dict] = None):
     return aa
 
 
+# --- AugMix (Hendrycks et al.) ---------------------------------------------
+
+AUGMIX_TRANSFORMS = [
+    "AutoContrast", "ColorIncreasing", "ContrastIncreasing",
+    "BrightnessIncreasing", "SharpnessIncreasing", "Equalize", "Rotate",
+    "PosterizeIncreasing", "SolarizeIncreasing", "ShearX", "ShearY",
+    "TranslateXRel", "TranslateYRel",
+]
+
+
+class AugMixAugment:
+    """width parallel augmentation chains, Dirichlet-mixed, then Beta-blended
+    with the original image."""
+
+    def __init__(self, ops: Sequence[AugmentOp], alpha: float = 1.0,
+                 width: int = 3, depth: int = -1):
+        self.ops = list(ops)
+        self.alpha = alpha
+        self.width = width
+        self.depth = depth
+
+    def __call__(self, img):
+        import numpy as np
+
+        ws = np.random.dirichlet([self.alpha] * self.width).astype(np.float32)
+        m = float(np.random.beta(self.alpha, self.alpha))
+        mixed = np.zeros((img.size[1], img.size[0], len(img.getbands())),
+                         np.float32)
+        for w in ws:
+            depth = self.depth if self.depth > 0 else random.randint(1, 3)
+            img_aug = img
+            for op in random.choices(self.ops, k=depth):
+                img_aug = op(img_aug)
+            mixed += w * np.asarray(img_aug, np.float32)
+        blended = m * np.asarray(img, np.float32) + (1.0 - m) * mixed
+        return Image.fromarray(np.clip(blended, 0, 255).astype("uint8"),
+                               img.mode)
+
+
+def augmix_transform(config_str: str, hparams: Optional[Dict] = None):
+    """Parse 'augmix-m3-w3[-d1][-mstd*]' configs (timm grammar)."""
+    hparams = dict(hparams or {})
+    magnitude, width, depth, alpha, mstd = 3.0, 3, -1, 1.0, float("inf")
+    for c in config_str.split("-")[1:]:
+        cs = re.split(r"(\d.*)", c)
+        if len(cs) < 2:
+            continue
+        key, val = cs[:2]
+        if key == "mstd":
+            mstd = float(val)
+        elif key == "m":
+            magnitude = float(val)
+        elif key == "w":
+            width = int(val)
+        elif key == "d":
+            depth = int(val)
+        elif key == "a":
+            alpha = float(val)
+    fill = tuple(hparams.get("img_mean", _DEFAULT_FILL))
+    ops = [
+        AugmentOp(n, prob=1.0, magnitude=magnitude, magnitude_std=mstd, fill=fill)
+        for n in AUGMIX_TRANSFORMS
+    ]
+    return AugMixAugment(ops, alpha=alpha, width=width, depth=depth)
+
+
 def create_aa_transform(config_str: str, hparams: Optional[Dict] = None):
-    """Dispatch 'rand-*' -> RandAugment, otherwise AutoAugment policy."""
+    """Dispatch 'rand-*' -> RandAugment, 'augmix-*' -> AugMix, otherwise
+    an AutoAugment policy (timm create_transform aa grammar)."""
     if config_str.startswith("rand"):
         return rand_augment_transform(config_str, hparams)
+    if config_str.startswith("augmix"):
+        return augmix_transform(config_str, hparams)
     return auto_augment_transform(config_str, hparams)
 
 
