@@ -299,14 +299,28 @@ def main(args):
     state = TrainState.create(params=params, tx=tx)
 
     start_epoch = args.start_epoch
+    ckpt_extras = {}
     if args.resume:
         from multimae_tpu.train.checkpoint import load_checkpoint
 
-        state, last_epoch = load_checkpoint(args.resume, state)
+        state, last_epoch, ckpt_extras = load_checkpoint(
+            args.resume, state, with_extras=True
+        )
         start_epoch = last_epoch + 1
         print(f"[checkpoint] resumed from {args.resume} (epoch {last_epoch})")
     elif args.auto_resume and args.output_dir:
-        state, start_epoch = auto_load_checkpoint(args.output_dir, state)
+        state, start_epoch, ckpt_extras = auto_load_checkpoint(
+            args.output_dir, state, with_extras=True
+        )
+    # Exact data-order resume: restore the grain iterator state saved with
+    # the checkpoint (goes beyond the reference, which restarts the epoch).
+    if not args.synthetic_data and ckpt_extras.get("data_iter_state"):
+        try:
+            loader.set_state(bytes(ckpt_extras["data_iter_state"]))
+            print("[checkpoint] data iterator state restored")
+        except Exception as e:
+            print(f"[checkpoint] data iterator restore failed ({e}); "
+                  "continuing with a fresh shuffle")
 
     if args.fsdp:
         from multimae_tpu.parallel.fsdp import shard_state_fsdp
@@ -388,7 +402,14 @@ def main(args):
         if args.output_dir and (
             (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs
         ):
-            save_checkpoint(args.output_dir, epoch, state, args=vars(args))
+            extras = None
+            if not args.synthetic_data:
+                try:
+                    extras = {"data_iter_state": loader.get_state()}
+                except Exception:
+                    extras = None
+            save_checkpoint(args.output_dir, epoch, state, extras=extras,
+                            args=vars(args))
 
         log_stats = {**train_stats, "epoch": epoch, "n_parameters": int(n_params)}
         write_log_line(args.output_dir, log_stats)

@@ -97,6 +97,11 @@ class _IndexSource(grain.RandomAccessDataSource):
     def __getitem__(self, index: int) -> int:
         return index
 
+    def __repr__(self) -> str:
+        # stable repr: grain validates iterator checkpoints against
+        # repr(data_source), so it must not embed an object id.
+        return f"_IndexSource(n={self._n})"
+
 
 def steps_per_epoch(dataset_len: int, global_batch_size: int) -> int:
     return dataset_len // global_batch_size

@@ -78,23 +78,30 @@ def latest_checkpoint(output_dir: str) -> Optional[str]:
     return best
 
 
-def load_checkpoint(path: str, state) -> Tuple[Any, int]:
-    """Restore a TrainState (+epoch) from a saved msgpack."""
+def load_checkpoint(path: str, state, with_extras: bool = False):
+    """Restore a TrainState (+epoch) from a saved msgpack.
+
+    Returns (state, epoch) or (state, epoch, extras) with with_extras.
+    """
     with open(path, "rb") as f:
         payload = flax.serialization.msgpack_restore(f.read())
 
     def _restore(template, saved):
-        flat_t = flax.traverse_util.flatten_dict(
-            flax.serialization.to_state_dict(template), sep="/"
-        )
-        flat_s = flax.traverse_util.flatten_dict(saved, sep="/")
-        out = {
-            k: np.asarray(flat_s[k]).reshape(np.shape(v)) if k in flat_s else v
-            for k, v in flat_t.items()
-        }
-        return flax.serialization.from_state_dict(
-            template, flax.traverse_util.unflatten_dict(out, sep="/")
-        )
+        # Recursive template-preserving merge (NOT flatten/unflatten, which
+        # drops empty subtrees such as a param-less NoWeighting balancer).
+        sd = flax.serialization.to_state_dict(template)
+
+        def merge(t, s):
+            if isinstance(t, dict):
+                return {
+                    k: merge(v, s.get(k) if isinstance(s, dict) else None)
+                    for k, v in t.items()
+                }
+            if s is None:
+                return t
+            return np.asarray(s).reshape(np.shape(t))
+
+        return flax.serialization.from_state_dict(template, merge(sd, saved))
 
     new_state = state.replace(
         params=_restore(state.params, payload["params"]),
@@ -109,18 +116,24 @@ def load_checkpoint(path: str, state) -> Tuple[Any, int]:
         new_state = new_state.replace(
             batch_stats=_restore(state.batch_stats, payload["batch_stats"])
         )
+    if with_extras:
+        return new_state, int(payload["epoch"]), payload.get("extras", {})
     return new_state, int(payload["epoch"])
 
 
-def auto_load_checkpoint(output_dir: str, state) -> Tuple[Any, int]:
+def auto_load_checkpoint(output_dir: str, state, with_extras: bool = False):
     """Resume from the latest checkpoint in output_dir; returns
-    (state, start_epoch). start_epoch = saved epoch + 1 (reference :131)."""
+    (state, start_epoch[, extras]). start_epoch = saved epoch + 1
+    (reference :131)."""
     path = latest_checkpoint(output_dir)
     if path is None:
-        return state, 0
-    state, epoch = load_checkpoint(path, state)
+        return (state, 0, {}) if with_extras else (state, 0)
+    out = load_checkpoint(path, state, with_extras=with_extras)
+    epoch = out[1]
     print(f"[checkpoint] auto-resumed from {path} (epoch {epoch})")
-    return state, epoch + 1
+    if with_extras:
+        return out[0], epoch + 1, out[2]
+    return out[0], epoch + 1
 
 
 def load_pretrained_torch(
