@@ -169,11 +169,15 @@ class MultiMAE(nn.Module):
         num_encoded_tokens: int = 128,
         alphas: Union[float, Sequence[float]] = 1.0,
         sample_tasks_uniformly: bool = False,
+        encode_only: bool = False,
     ):
         """Masked forward pass (reference multimae/multimae.py:271-379).
 
         Returns (preds, task_masks) where preds is a dict of NHWC tensors
         and task_masks a dict of (B, N_task) int32 masks (1 = masked).
+        encode_only=True skips the output adapters and returns
+        (encoder_tokens, task_masks, ids_keep, ids_restore, input_info) —
+        the hook for externally-stacked decoders (models/stacked_decoder).
         """
         if not isinstance(x, dict):
             x = {"rgb": x}
@@ -213,6 +217,9 @@ class MultiMAE(nn.Module):
         input_tokens = jnp.concatenate([input_tokens, global_tokens], axis=1)
 
         encoder_tokens = self.run_encoder(input_tokens, train)
+
+        if encode_only:
+            return encoder_tokens, task_masks, ids_keep, ids_restore, input_info
 
         if self.output_adapter_modules is None:
             return encoder_tokens, task_masks
