@@ -129,6 +129,9 @@ def get_args(argv=None):
     parser.add_argument("--dist_on_itp", action="store_true")
     parser.add_argument("--dist_url", default="env://")
 
+    parser.add_argument("--profile_dir", default="", type=str,
+                        help="Capture a JAX profiler trace of steps 10-13 "
+                             "of the first epoch into this directory")
     parser.add_argument("--approx_gelu", action="store_true",
                         help="tanh-approximate GELU (~4%% faster step; the "
                              "reference uses exact erf)")
@@ -372,9 +375,17 @@ def main(args):
                     b = next(loader)
                     yield {k: v for k, v in b.items() if k != "label"}
 
+        step_in_epoch = 0
         for batch in metric_logger.log_every(
             batches(), 10, header, total=num_steps_per_epoch
         ):
+            if args.profile_dir and epoch == start_epoch:
+                if step_in_epoch == 10:
+                    jax.profiler.start_trace(args.profile_dir)
+                elif step_in_epoch == 14:
+                    jax.profiler.stop_trace()
+                    print(f"[profiler] trace written to {args.profile_dir}")
+            step_in_epoch += 1
             batch = mesh_lib.shard_batch(batch, mesh)
             state, metrics = dp_step(state, batch, step_rng)
             host_metrics = {k: float(v) for k, v in metrics.items()}

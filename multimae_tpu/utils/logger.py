@@ -120,21 +120,34 @@ class MetricLogger:
             yield obj
             iter_time.update(time.time() - end)
             if i % print_freq == 0 or (total is not None and i == total - 1):
+                mem = device_memory_string()
                 if total:
                     eta = iter_time.global_avg * (total - i)
                     eta_str = str(datetime.timedelta(seconds=int(eta)))
                     print(
                         f"{header} [{i}/{total}] eta: {eta_str} {self} "
-                        f"time: {iter_time} data: {data_time}",
+                        f"time: {iter_time} data: {data_time}{mem}",
                         flush=True,
                     )
                 else:
-                    print(f"{header} [{i}] {self} time: {iter_time} data: {data_time}",
-                          flush=True)
+                    print(f"{header} [{i}] {self} time: {iter_time} "
+                          f"data: {data_time}{mem}", flush=True)
             i += 1
             end = time.time()
         elapsed = time.time() - start_time
         print(f"{header} Total time: {str(datetime.timedelta(seconds=int(elapsed)))}")
+
+
+def device_memory_string() -> str:
+    """' max mem: NNNNMB' like the reference's max_memory_allocated print
+    (utils/logger.py:123-167); empty when the backend exposes no stats."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            return f" max mem: {stats['peak_bytes_in_use'] // (1024 * 1024)}MB"
+    except Exception:
+        pass
+    return ""
 
 
 class WandbLogger:
