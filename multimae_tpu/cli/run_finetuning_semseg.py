@@ -420,6 +420,14 @@ def main(args):
             else:
                 dev = mesh_lib.shard_batch(jax.tree.map(jnp.asarray, prep), mesh)
                 cm += np.asarray(jit_eval(state.params, dev))
+        if jax.process_count() > 1:
+            # sum confusion matrices across hosts (replaces the reference's
+            # rank-0 pickle gather, utils/dist.py:96-159)
+            from jax.experimental import multihost_utils
+
+            cm = np.asarray(
+                multihost_utils.process_allgather(jnp.asarray(cm))
+            ).sum(axis=0)
         stats = miou_from_confusion(cm)
         return stats
 
