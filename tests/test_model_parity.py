@@ -386,3 +386,52 @@ def test_multivit_semseg_head_parity(adapter):
 
     out = np.asarray(ours.apply({"params": params}, x_j)["semseg"])
     np.testing.assert_allclose(out, ref_out, atol=5e-4, rtol=1e-3)
+
+
+@requires_reference
+def test_pth_file_roundtrip_load(tmp_path):
+    """File-level path: torch.save a reference checkpoint (with the
+    {'model': ...} wrapper the releases use) -> load_pretrained_torch ->
+    forward parity."""
+    import torch
+    from multimae.multimae import MultiViT as RefMultiViT
+    from multimae.input_adapters import PatchedInputAdapter as RefPatched
+    from multimae.output_adapters import LinearOutputAdapter as RefLinear
+
+    from multimae_tpu.train.checkpoint import load_pretrained_torch
+
+    torch.manual_seed(5)
+    ref = RefMultiViT(
+        input_adapters={
+            "rgb": RefPatched(num_channels=3, stride_level=1, patch_size_full=16)
+        },
+        output_adapters={"cls": RefLinear(num_classes=7)},
+        dim_tokens=64, depth=1, num_heads=4,
+    ).eval()
+    ckpt_path = str(tmp_path / "ref.pth")
+    torch.save({"model": ref.state_dict(), "epoch": 3}, ckpt_path)
+
+    ours = MultiViT(
+        input_adapters={
+            "rgb": functools.partial(
+                PatchedInputAdapter, num_channels=3, stride_level=1,
+                patch_size_full=16,
+            )
+        },
+        output_adapters={"cls": functools.partial(LinearOutputAdapter, num_classes=7)},
+        dim_tokens=64, depth=1, num_heads=4,
+    )
+    rng = np.random.default_rng(5)
+    x_np = rng.standard_normal((2, 224, 224, 3)).astype(np.float32)
+    x_j = {"rgb": jnp.asarray(x_np)}
+    template = jax.eval_shape(
+        lambda: ours.init({"params": jax.random.PRNGKey(0)}, x_j)
+    )["params"]
+    template = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), template)
+    params, report = load_pretrained_torch(ckpt_path, template)
+    assert not report["missing"] and not report["unexpected"], report
+
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(x_np).permute(0, 3, 1, 2))["cls"].numpy()
+    logits = np.asarray(ours.apply({"params": params}, x_j)["cls"])
+    np.testing.assert_allclose(logits, ref_logits, atol=2e-5, rtol=1e-4)
