@@ -375,9 +375,38 @@ def main(args):
                     b = next(loader)
                     yield {k: v for k, v in b.items() if k != "label"}
 
+        # Device metrics are drained every `print_freq` steps instead of
+        # per step: float(metrics) forces a device sync that serializes
+        # H2D with compute (the NaN guard therefore fires with up to
+        # print_freq steps of latency, like an async logger).
+        print_freq = 10
+        pending = []
+        global_step = int(state.step)
+
+        def drain():
+            nonlocal pending
+            for step_idx, m in jax.device_get(pending):
+                host_metrics = {k: float(v) for k, v in m.items()}
+                if not math.isfinite(host_metrics["loss"]):
+                    print(f"Loss is {host_metrics['loss']}, stopping training")
+                    sys.exit(1)
+                metric_logger.update(
+                    loss=host_metrics["loss"],
+                    grad_norm=host_metrics["grad_norm"],
+                    lr=float(lr_values[min(step_idx, len(lr_values) - 1)]),
+                )
+                metric_logger.update(**{
+                    k: v for k, v in host_metrics.items()
+                    if k.endswith("_loss") or k.endswith("_loss_weighted")
+                })
+                if log_writer is not None:
+                    log_writer.update(host_metrics)
+                    log_writer.set_step()
+            pending = []
+
         step_in_epoch = 0
         for batch in metric_logger.log_every(
-            batches(), 10, header, total=num_steps_per_epoch
+            batches(), print_freq, header, total=num_steps_per_epoch
         ):
             if args.profile_dir and epoch == start_epoch:
                 if step_in_epoch == 10:
@@ -385,24 +414,15 @@ def main(args):
                 elif step_in_epoch == 14:
                     jax.profiler.stop_trace()
                     print(f"[profiler] trace written to {args.profile_dir}")
-            step_in_epoch += 1
             batch = mesh_lib.shard_batch(batch, mesh)
             state, metrics = dp_step(state, batch, step_rng)
-            host_metrics = {k: float(v) for k, v in metrics.items()}
-            if not math.isfinite(host_metrics["loss"]):
-                print(f"Loss is {host_metrics['loss']}, stopping training")
-                sys.exit(1)
-            metric_logger.update(
-                loss=host_metrics["loss"], grad_norm=host_metrics["grad_norm"],
-                lr=float(lr_values[min(int(state.step) - 1, len(lr_values) - 1)]),
-            )
-            metric_logger.update(**{
-                k: v for k, v in host_metrics.items()
-                if k.endswith("_loss") or k.endswith("_loss_weighted")
-            })
-            if log_writer is not None:
-                log_writer.update(host_metrics)
-                log_writer.set_step()
+            pending.append((global_step, metrics))
+            global_step += 1
+            step_in_epoch += 1
+            # drain on the last step too so the epoch timer sees the work
+            if step_in_epoch % print_freq == 0 or step_in_epoch == num_steps_per_epoch:
+                drain()
+        drain()
 
         metric_logger.synchronize_between_processes()
         print("Averaged stats:", metric_logger)
