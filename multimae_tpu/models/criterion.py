@@ -15,8 +15,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from multimae_tpu.ops.resize import interpolate_2d
-
 
 def _upsample_mask(mask: jnp.ndarray, hw, scale: int) -> jnp.ndarray:
     """(B, nh*nw) token mask -> (B, H, W) pixel mask (nearest)."""

@@ -15,9 +15,6 @@ non-TPU backends (and is what the CPU parity tests exercise).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

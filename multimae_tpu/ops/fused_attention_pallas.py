@@ -26,8 +26,6 @@ padded q rows are sliced away by the caller.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

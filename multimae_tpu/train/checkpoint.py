@@ -18,7 +18,7 @@ import glob
 import json
 import os
 import re
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import flax.serialization
 import jax

@@ -15,7 +15,6 @@ TPU — we keep the reference's clip_grad / skip_grad semantics
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Sequence
 
 import jax

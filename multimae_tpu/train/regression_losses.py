@@ -6,7 +6,7 @@ c = max(0.2 * max|diff|, 1e-5) with stop-gradient, matching :78.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
