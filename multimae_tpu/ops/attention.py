@@ -22,8 +22,10 @@ import jax.numpy as jnp
 # Measured on v5e (axon): XLA's fused dense attention beats the shipped
 # Pallas flash kernel at every sequence length this model uses (99-token
 # pretrain: ~1.6x; 1025-token 512px fine-tune: ~2.4x — the 1152-pad forces
-# 128-wide kv blocks). Flash therefore stays opt-in until a tuned custom
-# kernel lands; enable with MULTIMAE_TPU_FLASH_ATTENTION=1.
+# 128-wide kv blocks; padding 1025->1536 for 512-wide blocks measured
+# 19.0 vs 16.5 ms — the padding waste eats the block win). Flash
+# therefore stays opt-in until a tuned custom kernel lands; enable with
+# MULTIMAE_TPU_FLASH_ATTENTION=1.
 import os
 
 FLASH_MIN_KV_LEN = 512
