@@ -253,9 +253,19 @@ def main(args):
             re_prob=args.reprob, re_mode=args.remode, re_count=args.recount,
         )
         eval_tf = ClsEvalTransform(input_size=args.input_size, crop_pct=args.crop_pct)
-        train_ds = ImageFolder(args.data_path)
-        val_ds = ImageFolder(args.eval_data_path)
-        assert len(train_ds.class_to_idx) >= 1
+        # Dataset choice (reference utils/datasets.py:128-160).
+        if args.data_set == "CIFAR":
+            from multimae_tpu.data.dataset_folder import CIFAR100
+
+            train_ds = CIFAR100(args.data_path, train=True)
+            val_ds = CIFAR100(args.data_path, train=False)
+            assert args.nb_classes == 100, "--data_set CIFAR has 100 classes"
+        else:
+            train_ds = ImageFolder(args.data_path)
+            val_ds = ImageFolder(args.eval_data_path)
+            if args.data_set == "image_folder":
+                assert len(train_ds.class_to_idx) == args.nb_classes
+            assert len(train_ds.class_to_idx) >= 1
         num_steps_per_epoch = steps_per_epoch(len(train_ds), global_batch)
         train_loader = build_loader(
             _ClsDatasetAdapter(train_ds), train_tf, global_batch_size=global_batch,
@@ -353,19 +363,36 @@ def main(args):
 
         tx = optax.MultiSteps(tx, every_k_schedule=args.update_freq)
 
+    # EMA lives on-device by default; --model_ema_force_cpu moves it to
+    # host RAM (reference utils/model_ema.py device='cpu' path).
+    ema_on_device = args.model_ema and not args.model_ema_force_cpu
+    host_ema = None
+    if args.model_ema and args.model_ema_force_cpu:
+        from multimae_tpu.train.train_state import HostEMA
+
+        host_ema = HostEMA(params, args.model_ema_decay)
+
     state = TrainState.create(
         params=params, tx=tx,
-        ema_decay=args.model_ema_decay if args.model_ema else None,
+        ema_decay=args.model_ema_decay if ema_on_device else None,
     )
     start_epoch = args.start_epoch
     if args.resume:
         from multimae_tpu.train.checkpoint import load_checkpoint
 
-        state, last_epoch = load_checkpoint(args.resume, state)
+        out = load_checkpoint(args.resume, state, with_extras=host_ema is not None)
+        state, last_epoch = out[0], out[1]
+        if host_ema is not None and out[2].get("ema_params"):
+            host_ema.load(out[2]["ema_params"])
         start_epoch = last_epoch + 1
         print(f"[checkpoint] resumed from {args.resume} (epoch {last_epoch})")
     elif args.auto_resume and args.output_dir:
-        state, start_epoch = auto_load_checkpoint(args.output_dir, state)
+        out = auto_load_checkpoint(
+            args.output_dir, state, with_extras=host_ema is not None
+        )
+        state, start_epoch = out[0], out[1]
+        if host_ema is not None and out[2].get("ema_params"):
+            host_ema.load(out[2]["ema_params"])
 
     state = state.replace(
         params=mesh_lib.replicate(state.params, mesh),
@@ -374,7 +401,7 @@ def main(args):
 
     train_step = make_cls_train_step(
         model, loss, clip_grad=args.clip_grad,
-        ema_decay=args.model_ema_decay if args.model_ema else None,
+        ema_decay=args.model_ema_decay if ema_on_device else None,
     )
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -422,6 +449,8 @@ def main(args):
                 {"rgb": jnp.asarray(x), "target": jnp.asarray(y)}, mesh
             )
             state, metrics = jit_train(state, dev_batch, step_rng)
+            if host_ema is not None:
+                host_ema.update(state.params)
             loss_v = float(metrics["loss"])
             if not math.isfinite(loss_v):
                 print(f"Loss is {loss_v}, stopping training")
@@ -434,7 +463,9 @@ def main(args):
         if args.output_dir and args.save_ckpt and (
             (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs
         ):
-            save_checkpoint(args.output_dir, epoch, state, args=vars(args))
+            extras = {"ema_params": host_ema.params} if host_ema is not None else None
+            save_checkpoint(args.output_dir, epoch, state, args=vars(args),
+                            extras=extras)
 
         log_stats = {**{f"train_{k}": v for k, v in train_stats.items()},
                      "epoch": epoch}

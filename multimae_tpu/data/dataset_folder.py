@@ -171,3 +171,53 @@ class MultiTaskImageFolder:
         if self.transform is not None:
             sample_dict = self.transform(sample_dict)
         return sample_dict, target
+
+
+class CIFAR100:
+    """CIFAR-100 from the standard `cifar-100-python` pickle layout.
+
+    Parity target: the reference's `--data_set CIFAR` branch
+    (utils/datasets.py:142-143) builds torchvision's CIFAR100 (fine
+    labels, 100 classes). This reads the same on-disk format
+    (`<root>/cifar-100-python/{train,test}` pickles with b'data'
+    (N, 3072) uint8 rows in CHW order and b'fine_labels') without
+    torchvision, returning (PIL image, target) like ImageFolder.
+    No downloading: the files must already exist under `root`.
+    """
+
+    base_folder = "cifar-100-python"
+
+    def __init__(self, root: str, train: bool = True,
+                 transform: Optional[Callable] = None):
+        import pickle
+
+        from PIL import Image  # noqa: F401 (used in __getitem__)
+
+        path = os.path.join(root, self.base_folder, "train" if train else "test")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"CIFAR-100 pickle not found: {path} (download is not "
+                "supported in this environment; place cifar-100-python/ "
+                "under the data path)"
+            )
+        with open(path, "rb") as f:
+            entry = pickle.load(f, encoding="bytes")
+        self.data = entry[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        self.targets = list(entry[b"fine_labels"])
+        self.transform = transform
+        self.classes = [str(i) for i in range(100)]
+        self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
+
+    def __len__(self) -> int:
+        return len(self.targets)
+
+    def load_raw(self, index: int):
+        from PIL import Image
+
+        return Image.fromarray(self.data[index]), self.targets[index]
+
+    def __getitem__(self, index: int):
+        img, target = self.load_raw(index)
+        if self.transform is not None:
+            img = self.transform(img)
+        return img, target

@@ -64,7 +64,8 @@ def cutmix_bbox_and_lam(shape, lam, ratio_minmax, correct_lam, rng, count=1):
         bbox_area = (yu - yl) * (xu - xl)
         lam = 1.0 - bbox_area / float(shape[-3] * shape[-2])
         if count == 1:
-            lam = float(lam)
+            # lam is a size-1 ndarray here; float(array) is deprecated in NumPy.
+            lam = float(np.asarray(lam).reshape(-1)[0])
     return (yl, yu, xl, xu), lam
 
 

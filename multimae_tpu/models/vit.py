@@ -145,6 +145,27 @@ def _attention_core(q, k, v, scale: float, dtype) -> jnp.ndarray:
     return fused_attention(q, k, v, scale).astype(dtype)
 
 
+def _attention_core_dropped(q, k, v, scale: float, dtype, rate: float,
+                            deterministic: bool) -> jnp.ndarray:
+    """Dense attention with dropout on the softmax probabilities.
+
+    Reference semantics (multimae/multimae_utils.py:164-176): softmax ->
+    nn.Dropout(attn_drop) -> @ v. Only taken when rate > 0 and training —
+    no recipe in cfgs/ enables attn_drop, so the fused path stays the
+    default; this path keeps the constructor contract complete.
+    """
+    logits = jnp.einsum(
+        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+    ).astype(jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = nn.Dropout(rate, deterministic=deterministic)(probs)
+    out = jnp.einsum(
+        "bhnm,bhmd->bhnd", probs.astype(q.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(dtype)
+
+
 class Attention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
@@ -170,11 +191,12 @@ class Attention(nn.Module):
         q, k, v = (
             jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)
         )  # each (B, H, N, Dh)
-        out = _attention_core(q, k, v, scale, self.dtype)
         if self.attn_drop > 0.0:
-            # Dropout on attention probabilities is folded into the core
-            # only when needed; reference defaults to 0 in all recipes.
-            raise NotImplementedError("attn_drop > 0 is not used by any recipe")
+            out = _attention_core_dropped(
+                q, k, v, scale, self.dtype, self.attn_drop, deterministic
+            )
+        else:
+            out = _attention_core(q, k, v, scale, self.dtype)
         out = jnp.moveaxis(out, 1, 2).reshape(b, n, c)
         out = nn.Dense(
             c,
@@ -223,7 +245,12 @@ class CrossAttention(nn.Module):
         q = jnp.moveaxis(q.reshape(b, n, self.num_heads, head_dim), 1, 2)
         kv = kv.reshape(b, m, 2, self.num_heads, head_dim)
         k, v = (jnp.moveaxis(kv[:, :, i], 1, 2) for i in range(2))
-        out = _attention_core(q, k, v, scale, self.dtype)
+        if self.attn_drop > 0.0:
+            out = _attention_core_dropped(
+                q, k, v, scale, self.dtype, self.attn_drop, deterministic
+            )
+        else:
+            out = _attention_core(q, k, v, scale, self.dtype)
         out = jnp.moveaxis(out, 1, 2).reshape(b, n, c)
         out = nn.Dense(
             c,
@@ -305,6 +332,8 @@ class DecoderBlock(nn.Module):
         h = Attention(
             num_heads=self.num_heads,
             qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
             dtype=self.dtype,
             name="self_attn",
         )(h, deterministic=deterministic)
@@ -314,6 +343,8 @@ class DecoderBlock(nn.Module):
         h = CrossAttention(
             num_heads=self.num_heads,
             qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
             dtype=self.dtype,
             name="cross_attn",
         )(q, ctx, deterministic=deterministic)

@@ -29,6 +29,37 @@ def _is_main() -> bool:
     return jax.process_index() == 0
 
 
+def resolve_checkpoint_path(path_or_url: str, cache_dir: Optional[str] = None) -> str:
+    """Support URL checkpoints (reference utils/checkpoint.py:120-123).
+
+    The reference routes https:// resume paths through
+    torch.hub.load_state_dict_from_url, which downloads to a local cache
+    and reuses it. Equivalent here: http(s):// paths are downloaded once
+    to ~/.cache/multimae_tpu/checkpoints/<name> (override with cache_dir
+    or $MULTIMAE_TPU_CKPT_CACHE) and the local path is returned. Plain
+    filesystem paths pass through unchanged.
+    """
+    if not (path_or_url.startswith("https://") or path_or_url.startswith("http://")):
+        return path_or_url
+    import urllib.parse
+    import urllib.request
+
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "MULTIMAE_TPU_CKPT_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "multimae_tpu", "checkpoints"),
+        )
+    os.makedirs(cache_dir, exist_ok=True)
+    name = os.path.basename(urllib.parse.urlparse(path_or_url).path) or "checkpoint"
+    local = os.path.join(cache_dir, name)
+    if not os.path.exists(local):
+        print(f"[checkpoint] downloading {path_or_url} -> {local}")
+        tmp = local + ".tmp"
+        urllib.request.urlretrieve(path_or_url, tmp)
+        os.replace(tmp, local)
+    return local
+
+
 def save_checkpoint(
     output_dir: str,
     epoch: int,
@@ -83,6 +114,7 @@ def load_checkpoint(path: str, state, with_extras: bool = False):
 
     Returns (state, epoch) or (state, epoch, extras) with with_extras.
     """
+    path = resolve_checkpoint_path(path)
     with open(path, "rb") as f:
         payload = flax.serialization.msgpack_restore(f.read())
 
@@ -146,7 +178,7 @@ def load_pretrained_torch(
         state_dict_to_params,
     )
 
-    state_dict = load_torch_state_dict(path)
+    state_dict = load_torch_state_dict(resolve_checkpoint_path(path))
     return state_dict_to_params(
         state_dict, params_template, head_type=head_type, strict=strict
     )

@@ -114,7 +114,11 @@ def make_pretrain_train_step(
     computation.
     """
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array,
+                   task_masks: Optional[Dict[str, jnp.ndarray]] = None):
+        """task_masks: optional {task: (B, N_task) 0/1} fixed masks — the
+        deterministic masking path (reference multimae.py:334-338), used
+        by the loss-trajectory parity test and demo-style drives."""
         rng_mask, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
 
         tasks_dict = dict(batch)
@@ -152,6 +156,7 @@ def make_pretrain_train_step(
                     num_encoded_tokens=num_encoded_tokens,
                     alphas=alphas,
                     sample_tasks_uniformly=sample_tasks_uniformly,
+                    task_masks=task_masks,
                     rngs={"masking": rng_mask, "dropout": rng_drop},
                 )
             targets = dict(tasks_dict)

@@ -6,6 +6,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -60,4 +61,37 @@ class TrainState(struct.PyTreeNode):
             params=new_params,
             opt_state=new_opt_state,
             ema_params=new_ema,
+        )
+
+
+class HostEMA:
+    """CPU-resident parameter EMA (`--model_ema_force_cpu`).
+
+    The reference's ModelEma with device='cpu' (utils/model_ema.py:18-131)
+    keeps the EMA copy in host RAM and pulls the new params over per
+    update — trading a full H2D/D2H param transfer per step for
+    accelerator memory. Same trade here: `update` device_gets the params
+    and blends on the host in float32. Use TrainState.ema_params (the
+    on-device path) unless accelerator memory is the constraint.
+    """
+
+    def __init__(self, params, decay: float):
+        self.decay = float(decay)
+        self.params = jax.tree.map(
+            lambda p: np.array(jax.device_get(p), dtype=np.float32, copy=True),
+            params,
+        )
+
+    def update(self, new_params):
+        host = jax.device_get(new_params)
+        d = self.decay
+        self.params = jax.tree.map(
+            lambda e, p: e * d + np.asarray(p, dtype=np.float32) * (1.0 - d),
+            self.params, host,
+        )
+
+    def load(self, saved):
+        self.params = jax.tree.map(
+            lambda e, s: np.asarray(s, dtype=np.float32).reshape(e.shape),
+            self.params, saved,
         )

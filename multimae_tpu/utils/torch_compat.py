@@ -238,11 +238,23 @@ def state_dict_to_params(
     return flax.traverse_util.unflatten_dict(out), report
 
 
-def params_to_state_dict(params: Any, head_type: str = "regression") -> Dict[str, np.ndarray]:
+def params_to_state_dict(
+    params: Any,
+    head_type: str = "regression",
+    proj_shapes: Optional[Dict[str, Tuple[int, int, int]]] = None,
+) -> Dict[str, np.ndarray]:
     """Inverse mapping: flax params -> torch-format state_dict (numpy).
 
     Enables exporting checkpoints back to the reference ecosystem
     (parity with tools/multimae2vit_converter.py workflows).
+
+    proj_shapes: optional {task: (C, ph, pw)} for the input adapters'
+    patchify Dense kernels. Our patchify is a (ph*pw*C, D) matmul (rows
+    ordered (ph, pw, c), see _convert_tensor's import reshape); with the
+    shape hint the exporter reconstructs the reference's 4-D conv weight
+    (D, C, ph, pw). Without it the kernel is exported in flattened
+    (D, ph*pw*C) layout (our importer accepts both, torch's
+    load_state_dict needs the 4-D form).
     """
     flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(params), sep=None)
     out: Dict[str, np.ndarray] = {}
@@ -254,10 +266,22 @@ def params_to_state_dict(params: Any, head_type: str = "regression") -> Dict[str
             arr = arr.transpose(0, 3, 1, 2)
         elif leafname == "kernel":
             if arr.ndim == 2:
-                # May be a patchify Dense that came from a conv — we cannot
-                # reconstruct (ph, pw, I) without module info, so export
-                # linear layout; the importer handles both.
                 arr = arr.T
+                if (
+                    proj_shapes
+                    and len(path) >= 2
+                    and path[-2] == "proj"
+                    and path[0].startswith("input_adapters_")
+                ):
+                    task = path[0][len("input_adapters_"):]
+                    if task in proj_shapes:
+                        # Inverse of the import reshape (_convert_tensor):
+                        # torch (D,C,ph,pw) -> (ph,pw,C,D) -> flat (ph*pw*C, D).
+                        c, ph, pw = proj_shapes[task]
+                        d = arr.shape[0]
+                        arr = (
+                            arr.T.reshape(ph, pw, c, d).transpose(3, 2, 0, 1)
+                        )
             elif arr.ndim == 4:
                 arr = arr.transpose(3, 2, 0, 1)
                 if "deconv" in path[-2]:

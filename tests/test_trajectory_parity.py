@@ -1,0 +1,218 @@
+"""50-step training-trajectory parity vs the reference (CPU, fp32).
+
+Forward golden parity (test_model_parity.py) proves single-step
+equivalence; this test catches optimizer / LR-schedule / masking
+interaction drift over many steps (VERDICT.md round-1 weak #5): an
+identical tiny MultiMAE is trained for 50 steps on both sides — same
+weights, same fixed per-step task masks, same data, same AdamW + cosine
+schedule — and the per-step total losses must track.
+
+Reference loop under test: run_pretraining_multimae.py:458-578 (per-step
+LR assignment, masked forward, per-task criterion, AdamW update).
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+from tests.conftest import install_reference_import_shim, requires_reference
+
+install_reference_import_shim()
+
+import jax
+import jax.numpy as jnp
+
+STEPS = 50
+IMG = 32
+PATCH = 16
+N_TOK = (IMG // PATCH) ** 2  # 4 per task
+K_VIS = 4  # visible tokens out of 8
+
+
+def _fixed_masks(rng, n_steps):
+    """Per-step 0/1 masks over [rgb|depth] with exactly K_VIS visible."""
+    masks = []
+    for _ in range(n_steps):
+        flat = np.ones((1, 2 * N_TOK), dtype=np.int64)
+        vis = rng.choice(2 * N_TOK, size=K_VIS, replace=False)
+        flat[:, vis] = 0
+        masks.append({"rgb": flat[:, :N_TOK], "depth": flat[:, N_TOK:]})
+    return masks
+
+
+def _fixed_data(rng, n_steps):
+    return [
+        {
+            "rgb": rng.standard_normal((1, IMG, IMG, 3)).astype(np.float32),
+            "depth": rng.standard_normal((1, IMG, IMG, 1)).astype(np.float32),
+        }
+        for _ in range(n_steps)
+    ]
+
+
+def _our_model():
+    from multimae_tpu.models import (
+        MultiMAE,
+        PatchedInputAdapter,
+        SpatialOutputAdapter,
+    )
+
+    input_adapters = {
+        "rgb": functools.partial(
+            PatchedInputAdapter, num_channels=3, stride_level=1,
+            patch_size_full=PATCH, image_size=IMG,
+        ),
+        "depth": functools.partial(
+            PatchedInputAdapter, num_channels=1, stride_level=1,
+            patch_size_full=PATCH, image_size=IMG,
+        ),
+    }
+    output_adapters = {
+        t: functools.partial(
+            SpatialOutputAdapter, num_channels=c, stride_level=1,
+            patch_size_full=PATCH, dim_tokens=32, depth=1, num_heads=2,
+            use_task_queries=True, task=t, context_tasks=("rgb", "depth"),
+            use_xattn=True, image_size=IMG,
+        )
+        for t, c in (("rgb", 3), ("depth", 1))
+    }
+    return MultiMAE(
+        input_adapters=input_adapters, output_adapters=output_adapters,
+        num_global_tokens=1, dim_tokens=64, depth=2, num_heads=4,
+    )
+
+
+def _ref_model():
+    from multimae.input_adapters import PatchedInputAdapter as RefPatched
+    from multimae.multimae import MultiMAE as RefMultiMAE
+    from multimae.output_adapters import SpatialOutputAdapter as RefSpatial
+
+    input_adapters = {
+        "rgb": RefPatched(num_channels=3, stride_level=1,
+                          patch_size_full=PATCH, image_size=IMG),
+        "depth": RefPatched(num_channels=1, stride_level=1,
+                            patch_size_full=PATCH, image_size=IMG),
+    }
+    output_adapters = {
+        t: RefSpatial(
+            num_channels=c, stride_level=1, patch_size_full=PATCH,
+            dim_tokens=32, depth=1, num_heads=2, use_task_queries=True,
+            task=t, context_tasks=["rgb", "depth"], use_xattn=True,
+            image_size=IMG,
+        )
+        for t, c in (("rgb", 3), ("depth", 1))
+    }
+    return RefMultiMAE(
+        input_adapters=input_adapters, output_adapters=output_adapters,
+        num_global_tokens=1, dim_tokens=64, depth=2, num_heads=4,
+    )
+
+
+@requires_reference
+def test_50_step_loss_trajectory_tracks_reference():
+    import torch
+
+    from multimae_tpu.models.criterion import MaskedL1Loss, MaskedMSELoss
+    from multimae_tpu.train.optim_factory import create_optimizer
+    from multimae_tpu.train.pretrain_step import make_pretrain_train_step
+    from multimae_tpu.train.schedules import as_optax_schedule, cosine_scheduler
+    from multimae_tpu.train.task_balancing import build_balancer
+    from multimae_tpu.train.train_state import TrainState
+    from multimae_tpu.utils.torch_compat import params_to_state_dict
+
+    rng_np = np.random.default_rng(7)
+    data = _fixed_data(rng_np, STEPS)
+    masks = _fixed_masks(rng_np, STEPS)
+
+    base_lr, min_lr, wd = 1e-3, 0.0, 0.05
+    betas, eps = (0.9, 0.95), 1e-8
+    lr_values = cosine_scheduler(
+        base_lr, min_lr, epochs=1, niter_per_ep=STEPS, warmup_steps=10
+    )
+
+    # ---- ours ----
+    model = _our_model()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
+        {k: jnp.asarray(v) for k, v in data[0].items()},
+        num_encoded_tokens=K_VIS,
+    )["params"]
+    losses = {
+        "rgb": MaskedMSELoss(patch_size=PATCH, stride=1, norm_pix=False),
+        "depth": MaskedL1Loss(patch_size=PATCH, stride=1, norm_pix=False),
+    }
+    balancer = build_balancer("none", ("rgb", "depth"))
+    full_params = {"model": params, "balancer": {}}
+    tx = create_optimizer(
+        full_params, opt="adamw", lr_schedule=as_optax_schedule(lr_values),
+        weight_decay=wd, opt_betas=betas, opt_eps=eps, filter_bias_and_bn=False,
+    )
+    state = TrainState.create(params=full_params, tx=tx)
+    step_fn = make_pretrain_train_step(
+        model, balancer, losses, num_encoded_tokens=K_VIS,
+        in_domains=("rgb", "depth"), standardize_depth_flag=False,
+        extra_norm_pix_loss=False,
+    )
+    jit_step = jax.jit(step_fn)
+
+    ours_losses = []
+    key = jax.random.PRNGKey(3)
+    for i in range(STEPS):
+        batch = {k: jnp.asarray(v) for k, v in data[i].items()}
+        tm = {k: jnp.asarray(v, jnp.int32) for k, v in masks[i].items()}
+        state, metrics = jit_step(state, batch, key, tm)
+        ours_losses.append(float(metrics["loss"]))
+
+    # ---- reference ----
+    torch.manual_seed(0)
+    from multimae.criterion import (
+        MaskedL1Loss as RefL1,
+        MaskedMSELoss as RefMSE,
+    )
+
+    ref = _ref_model()
+    sd = params_to_state_dict(
+        params, proj_shapes={"rgb": (3, PATCH, PATCH), "depth": (1, PATCH, PATCH)}
+    )
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False,
+    )
+    assert not missing, f"missing: {missing}"
+    ref.train()
+    ref_losses_fn = {
+        "rgb": RefMSE(patch_size=PATCH, stride=1, norm_pix=False),
+        "depth": RefL1(patch_size=PATCH, stride=1, norm_pix=False),
+    }
+    opt = torch.optim.AdamW(
+        ref.parameters(), lr=base_lr, betas=betas, eps=eps, weight_decay=wd
+    )
+
+    ref_losses = []
+    for i in range(STEPS):
+        for g in opt.param_groups:
+            g["lr"] = float(lr_values[i])
+        x_t = {
+            "rgb": torch.from_numpy(data[i]["rgb"]).permute(0, 3, 1, 2),
+            "depth": torch.from_numpy(data[i]["depth"]).permute(0, 3, 1, 2),
+        }
+        tm_t = {k: torch.from_numpy(v) for k, v in masks[i].items()}
+        preds, out_masks = ref(x_t, mask_inputs=True, task_masks=tm_t)
+        total = sum(
+            ref_losses_fn[t](preds[t], x_t[t], mask=out_masks.get(t))
+            for t in ("rgb", "depth")
+        )
+        opt.zero_grad()
+        total.backward()
+        opt.step()
+        ref_losses.append(float(total.detach()))
+
+    ours = np.array(ours_losses)
+    refs = np.array(ref_losses)
+    # Same math in fp32; divergence accumulates slowly through 50 AdamW
+    # steps. Track per-step within 1% relative (early steps much tighter).
+    np.testing.assert_allclose(ours, refs, rtol=1e-2, atol=1e-3)
+    # And both actually trained: mean loss decreased (targets are random
+    # noise, so the model mostly learns the mean — the drop is small).
+    assert ours[-10:].mean() < ours[:10].mean()

@@ -1,0 +1,160 @@
+"""Profile the pretrain train step on the current backend and print an
+aggregated per-op time table.
+
+Captures a jax.profiler trace around a few steps, then parses the
+generated trace.json.gz (perfetto/chrome trace events) and aggregates
+device-lane durations by fused-op name. This is how the round-2 decoder
+fusion work was grounded in measured costs rather than guesses
+(VERDICT.md weak #1/#7-8).
+
+Usage:  python tools/profile_step.py [--batch 128] [--steps 5] [--top 40]
+        [--out /tmp/mmtrace]
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_step(batch_size):
+    import jax
+    import jax.numpy as jnp
+
+    from multimae_tpu.cli.factory import (
+        build_pretrain_losses,
+        build_pretrain_model,
+        make_synthetic_batch,
+    )
+    from multimae_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+    from multimae_tpu.train.optim_factory import create_optimizer
+    from multimae_tpu.train.pretrain_step import (
+        jit_data_parallel,
+        make_pretrain_train_step,
+    )
+    from multimae_tpu.train.schedules import as_optax_schedule, cosine_scheduler
+    from multimae_tpu.train.task_balancing import build_balancer
+    from multimae_tpu.train.train_state import TrainState
+
+    mesh = create_mesh()
+    model = build_pretrain_model(
+        dtype=jnp.bfloat16, fp32_output_adapters=("semseg",),
+        decoder_return_patches=True,
+    )
+    losses = build_pretrain_losses(("rgb", "depth", "semseg"))
+    batch = make_synthetic_batch(batch_size)
+    out_tasks = ("rgb", "depth", "semseg", "norm_rgb")
+    balancer = build_balancer("uncertainty", out_tasks)
+    model_params = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
+            jax.tree.map(lambda x: x[:2], batch),
+            num_encoded_tokens=98,
+        )["params"]
+    )()
+    bal_params = balancer.init(
+        jax.random.PRNGKey(0), {t: jnp.zeros(()) for t in out_tasks}
+    )["params"]
+    params = {"model": model_params, "balancer": bal_params}
+    lr_sched = as_optax_schedule(
+        cosine_scheduler(8e-4, 0.0, epochs=1600, niter_per_ep=100, warmup_epochs=40)
+    )
+    tx = create_optimizer(
+        params, opt="adamw", lr_schedule=lr_sched, weight_decay=0.05,
+        opt_betas=(0.9, 0.95), filter_bias_and_bn=False,
+    )
+    state = TrainState.create(params=params, tx=tx)
+    state = state.replace(
+        params=replicate(state.params, mesh),
+        opt_state=replicate(state.opt_state, mesh),
+    )
+    step_fn = make_pretrain_train_step(
+        model, balancer, losses,
+        num_encoded_tokens=98, in_domains=("rgb", "depth", "semseg"),
+        extra_norm_pix_loss=True,
+    )
+    dp_step = jit_data_parallel(step_fn, mesh)
+    batch = shard_batch(batch, mesh)
+    return dp_step, state, batch
+
+
+def aggregate_trace(trace_dir, top):
+    files = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not files:
+        print(f"no trace.json.gz under {trace_dir}", file=sys.stderr)
+        return
+    path = max(files, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # Identify device lanes (TPU/accelerator pids) via process names.
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e.get("args", {}).get("name", "")
+    dev_pids = {
+        pid for pid, name in pid_names.items()
+        if re.search(r"TPU|/device|Device|XLA", name or "")
+    }
+    per_op = defaultdict(float)
+    count = defaultdict(int)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "")
+        dur = e.get("dur", 0) / 1e3  # us -> ms
+        per_op[name] += dur
+        count[name] += 1
+        total += dur
+    print(f"\ntrace: {path}")
+    print(f"device lanes: {sorted(pid_names[p] for p in dev_pids)}")
+    print(f"total device op time: {total:.2f} ms\n")
+    print(f"{'ms':>9}  {'%':>5}  {'n':>5}  op")
+    for name, ms in sorted(per_op.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{ms:9.2f}  {100 * ms / max(total, 1e-9):5.1f}  {count[name]:5d}  {name[:120]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--out", default="/tmp/mmtrace")
+    args = ap.parse_args()
+
+    from multimae_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+    import jax
+
+    dp_step, state, batch = build_step(args.batch * jax.device_count())
+    rng = jax.random.PRNGKey(1)
+    for _ in range(args.warmup):
+        state, metrics = dp_step(state, batch, rng)
+    jax.block_until_ready(metrics)
+
+    import time
+
+    with jax.profiler.trace(args.out):
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, metrics = dp_step(state, batch, rng)
+        jax.block_until_ready(metrics)
+        dt = time.perf_counter() - t0
+    print(f"{args.steps} steps in {dt * 1e3:.1f} ms -> "
+          f"{args.batch * args.steps * jax.device_count() / dt:.1f} samples/s "
+          f"({dt * 1e3 / args.steps:.2f} ms/step)")
+    aggregate_trace(args.out, args.top)
+
+
+if __name__ == "__main__":
+    main()
