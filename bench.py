@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
-BATCH = 128
+BATCH = int(os.environ.get("MULTIMAE_TPU_BENCH_BATCH", "128"))
 STEPS = 20
 WARMUP = 3
 

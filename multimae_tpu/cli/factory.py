@@ -120,40 +120,6 @@ def build_pretrain_model(
     )
 
 
-def build_generic_decoder(
-    *,
-    dim_tokens_enc: int = 768,
-    patch_size: int = 16,
-    input_size: int = 224,
-    decoder_dim: int = 256,
-    decoder_depth: int = 2,
-    decoder_num_heads: int = 8,
-    decoder_use_task_queries: bool = True,
-    decoder_use_xattn: bool = True,
-    in_domains: Sequence[str] = ("rgb", "depth", "semseg"),
-    dtype=jnp.bfloat16,
-):
-    """The shared-config SpatialOutputAdapter used by the stacked-decoder
-    fast path (models/stacked_decoder.py). Its task/num_channels fields
-    are unused on that path; stride_level=1 keeps the standard 14x14 query
-    grid (identical across the pretraining modalities)."""
-    return SpatialOutputAdapter(
-        num_channels=1,
-        stride_level=1,
-        patch_size_full=patch_size,
-        image_size=input_size,
-        dim_tokens_enc=dim_tokens_enc,
-        dim_tokens=decoder_dim,
-        depth=decoder_depth,
-        num_heads=decoder_num_heads,
-        use_task_queries=decoder_use_task_queries,
-        task=None,
-        context_tasks=tuple(in_domains),
-        use_xattn=decoder_use_xattn,
-        dtype=dtype,
-    )
-
-
 def build_pretrain_losses(
     out_domains: Sequence[str],
     patch_size: int = 16,

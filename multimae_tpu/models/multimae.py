@@ -177,7 +177,7 @@ class MultiMAE(nn.Module):
         and task_masks a dict of (B, N_task) int32 masks (1 = masked).
         encode_only=True skips the output adapters and returns
         (encoder_tokens, task_masks, ids_keep, ids_restore, input_info) —
-        the hook for externally-stacked decoders (models/stacked_decoder).
+        for feature-extraction / probing workflows.
         """
         if not isinstance(x, dict):
             x = {"rgb": x}

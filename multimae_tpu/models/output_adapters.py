@@ -177,8 +177,7 @@ class SpatialOutputAdapter(nn.Module):
         return jnp.concatenate(context_embeddings, axis=1)
 
     def get_queries_and_context(self, context_tokens, input_info, ids_keep,
-                                ids_restore, query_rank_slice=None,
-                                query_positions=None):
+                                ids_restore):
         """Reference :183-234, restructured for TPU.
 
         The reference materialises the FULL unshuffled sequence
@@ -213,25 +212,7 @@ class SpatialOutputAdapter(nn.Module):
         # (1, N, D) batch-independent task+pos embeddings.
         context_emb = self.generate_context_embeddings(input_info, 1, (nh, nw))
 
-        if query_rank_slice is not None and query_positions is not None:
-            # vmap-friendly dynamic-slice path (stacked decoders): the
-            # task's token positions come in as arrays instead of static
-            # slice bounds. Same math as the static branch below.
-            rank_slice = query_rank_slice
-            q_tokens = select_or_zero(ctx_visible_proj, rank_slice, k)
-            visible = (rank_slice < k)[..., None]
-            queries = jnp.where(
-                visible, q_tokens, self.mask_token.astype(self.dtype)
-            )
-            onehot_q = jax.nn.one_hot(
-                query_positions, num_task_tokens, dtype=self.dtype
-            )
-            ctx_emb_q = jnp.einsum(
-                "qn,nd->qd", onehot_q, context_emb[0],
-                preferred_element_type=jnp.float32,
-            ).astype(self.dtype)
-            queries = queries + ctx_emb_q[None]
-        elif self.use_task_queries and self.task in input_info["tasks"]:
+        if self.use_task_queries and self.task in input_info["tasks"]:
             start = input_info["tasks"][self.task]["start_idx"]
             end = input_info["tasks"][self.task]["end_idx"]
             rank_slice = ids_restore[:, start:end]
@@ -277,9 +258,6 @@ class SpatialOutputAdapter(nn.Module):
         ids_keep: jnp.ndarray,
         ids_restore: jnp.ndarray,
         train: bool = False,
-        query_rank_slice: Optional[jnp.ndarray] = None,
-        query_positions: Optional[jnp.ndarray] = None,
-        apply_out_proj: bool = True,
     ) -> jnp.ndarray:
         h, w = input_info["image_size"]
         ph, pw = self.patch_hw
@@ -288,8 +266,7 @@ class SpatialOutputAdapter(nn.Module):
 
         context_tokens = self.proj_context(encoder_tokens.astype(self.dtype))
         queries, context = self.get_queries_and_context(
-            context_tokens, input_info, ids_keep, ids_restore,
-            query_rank_slice=query_rank_slice, query_positions=query_positions,
+            context_tokens, input_info, ids_keep, ids_restore
         )
 
         if self.use_xattn:
@@ -304,9 +281,6 @@ class SpatialOutputAdapter(nn.Module):
 
         for blk in self.decoder_transformer:
             x = blk(x, deterministic=not train)
-
-        if not apply_out_proj:
-            return x  # (B, nh*nw, dim_tokens) pre-projection (stacked path)
 
         x = self.out_proj(x)
         if self.return_patches:

@@ -137,12 +137,14 @@ class Mlp(nn.Module):
 def _attention_core(q, k, v, scale: float, dtype) -> jnp.ndarray:
     """Softmax attention with fp32 logits/softmax.
 
-    q,k,v: (B, H, N, Dh). Returns (B, H, N, Dh) in `dtype`.
-    Dispatches to the Pallas flash kernel on TPU/bf16 (ops/attention.py).
+    q,k,v: (B, N, H, Dh) — the natural reshape of the fused qkv Dense
+    output (no transposes materialised anywhere on this path). Returns
+    (B, N, H, Dh) in `dtype`. Dispatches to the fused short-attention
+    Pallas kernel on TPU/bf16 (ops/attention.py).
     """
-    from multimae_tpu.ops.attention import fused_attention
+    from multimae_tpu.ops.attention import fused_attention_bnhd
 
-    return fused_attention(q, k, v, scale).astype(dtype)
+    return fused_attention_bnhd(q, k, v, scale).astype(dtype)
 
 
 def _attention_core_dropped(q, k, v, scale: float, dtype, rate: float,
@@ -153,14 +155,15 @@ def _attention_core_dropped(q, k, v, scale: float, dtype, rate: float,
     nn.Dropout(attn_drop) -> @ v. Only taken when rate > 0 and training —
     no recipe in cfgs/ enables attn_drop, so the fused path stays the
     default; this path keeps the constructor contract complete.
+    q,k,v: (B, N, H, Dh).
     """
     logits = jnp.einsum(
-        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+        "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
     ).astype(jnp.float32) * scale
     probs = jax.nn.softmax(logits, axis=-1)
     probs = nn.Dropout(rate, deterministic=deterministic)(probs)
     out = jnp.einsum(
-        "bhnm,bhmd->bhnd", probs.astype(q.dtype), v,
+        "bhnm,bmhd->bnhd", probs.astype(q.dtype), v,
         preferred_element_type=jnp.float32,
     )
     return out.astype(dtype)
@@ -188,16 +191,14 @@ class Attention(nn.Module):
             name="qkv",
         )(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = (
-            jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)
-        )  # each (B, H, N, Dh)
+        q, k, v = (qkv[:, :, i] for i in range(3))  # each (B, N, H, Dh)
         if self.attn_drop > 0.0:
             out = _attention_core_dropped(
                 q, k, v, scale, self.dtype, self.attn_drop, deterministic
             )
         else:
             out = _attention_core(q, k, v, scale, self.dtype)
-        out = jnp.moveaxis(out, 1, 2).reshape(b, n, c)
+        out = out.reshape(b, n, c)
         out = nn.Dense(
             c,
             dtype=self.dtype,
@@ -242,16 +243,16 @@ class CrossAttention(nn.Module):
             bias_init=nn.initializers.zeros,
             name="kv",
         )(context)
-        q = jnp.moveaxis(q.reshape(b, n, self.num_heads, head_dim), 1, 2)
+        q = q.reshape(b, n, self.num_heads, head_dim)
         kv = kv.reshape(b, m, 2, self.num_heads, head_dim)
-        k, v = (jnp.moveaxis(kv[:, :, i], 1, 2) for i in range(2))
+        k, v = (kv[:, :, i] for i in range(2))  # each (B, M, H, Dh)
         if self.attn_drop > 0.0:
             out = _attention_core_dropped(
                 q, k, v, scale, self.dtype, self.attn_drop, deterministic
             )
         else:
             out = _attention_core(q, k, v, scale, self.dtype)
-        out = jnp.moveaxis(out, 1, 2).reshape(b, n, c)
+        out = out.reshape(b, n, c)
         out = nn.Dense(
             c,
             dtype=self.dtype,

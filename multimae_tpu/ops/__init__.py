@@ -1,4 +1,9 @@
-from multimae_tpu.ops.attention import einsum_attention, fused_attention, set_attention_remat
+from multimae_tpu.ops.attention import (
+    einsum_attention,
+    fused_attention,
+    set_attention_remat,
+    set_light_attention_residuals,
+)
 from multimae_tpu.ops.gather import gather_tokens, select_or_zero
 from multimae_tpu.ops.masking import (
     generate_random_masks,
@@ -22,4 +27,5 @@ __all__ = [
     "einsum_attention",
     "fused_attention",
     "set_attention_remat",
+    "set_light_attention_residuals",
 ]

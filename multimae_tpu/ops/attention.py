@@ -15,6 +15,8 @@ non-TPU backends (and is what the CPU parity tests exercise).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -42,12 +44,24 @@ def _use_flash(q: jnp.ndarray, k: jnp.ndarray) -> bool:
     )
 
 
+def _use_flash_bnhd(q: jnp.ndarray, k: jnp.ndarray) -> bool:
+    return (
+        os.environ.get("MULTIMAE_TPU_FLASH_ATTENTION") == "1"
+        and jax.default_backend() == "tpu"
+        and q.dtype == jnp.bfloat16
+        and q.shape[-1] in (32, 64, 128, 256)
+        and k.shape[1] >= FLASH_MIN_KV_LEN
+        and q.shape[1] >= 128
+    )
+
+
 def _pad_len(n: int, multiple: int = 128) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
 def einsum_attention(q, k, v, sm_scale: float) -> jnp.ndarray:
-    """Dense softmax attention, fp32 logits (reference semantics)."""
+    """Dense softmax attention, fp32 logits (reference semantics).
+    (B, H, N, D) layout."""
     logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
     logits = logits.astype(jnp.float32) * sm_scale
     probs = jax.nn.softmax(logits, axis=-1)
@@ -58,24 +72,105 @@ def einsum_attention(q, k, v, sm_scale: float) -> jnp.ndarray:
     return out.astype(q.dtype)
 
 
+def einsum_attention_bnhd(q, k, v, sm_scale: float) -> jnp.ndarray:
+    """Same math in (B, N, H, D) layout — the natural reshape of a fused
+    qkv projection. XLA fuses the head transposes into the matmuls, so
+    no materialised moveaxis is needed on this path either."""
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+    logits = logits.astype(jnp.float32) * sm_scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhnm,bmhd->bnhd", probs.astype(q.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
 # Rematerialized variant: autodiff otherwise saves the fp32 (B, H, N, N)
 # softmax tensor of EVERY layer as a residual — ~6 GB at B=256 for the
 # ViT-B pretrain model (measured HBM OOM dump). Recomputing the softmax in
 # the backward pass keeps only q/k/v (bf16) live between fwd and bwd.
-# Cost on v5e: ~8% step time at B=128; REQUIRED to fit B>=256 on 16GB.
+# Cost on v5e: ~8% step time at B=128. Mostly superseded by the
+# light-residual path below.
 einsum_attention_remat = jax.checkpoint(einsum_attention, static_argnums=(3,))
+einsum_attention_bnhd_remat = jax.checkpoint(
+    einsum_attention_bnhd, static_argnums=(3,)
+)
+
+
+# Light-residual variant: custom VJP that saves the PROBABILITIES IN THE
+# COMPUTE DTYPE (bf16 in training) instead of letting autodiff keep the
+# fp32 softmax output. Halves (vs fp32) the O(B*H*N^2) residual memory —
+# the difference between OOM and fitting batch 256 on a 16 GB v5e —
+# with NO recompute tax (unlike jax.checkpoint remat, measured ~8%).
+# For fp32 inputs the cast is a no-op, so gradients are bit-identical to
+# autodiff; for bf16 the backward uses bf16-rounded probabilities (the
+# same rounding the forward's @v matmul already applies).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def einsum_attention_bnhd_lightres(q, k, v, sm_scale: float):
+    return einsum_attention_bnhd(q, k, v, sm_scale)
+
+
+def _lightres_fwd(q, k, v, sm_scale):
+    logits = jnp.einsum(
+        "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+    ).astype(jnp.float32) * sm_scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum(
+        "bhnm,bmhd->bnhd", probs, v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+    return out, (q, k, v, probs)
+
+
+def _lightres_bwd(sm_scale, res, g):
+    q, k, v, probs = res
+    # dv = p^T @ do
+    dv = jnp.einsum(
+        "bhnm,bnhd->bmhd", probs, g, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
+    # dp = do @ v^T
+    dp = jnp.einsum(
+        "bnhd,bmhd->bhnm", g, v, preferred_element_type=jnp.float32
+    )
+    p32 = probs.astype(jnp.float32)
+    ds = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+    ds = (ds * sm_scale).astype(q.dtype)
+    dq = jnp.einsum(
+        "bhnm,bmhd->bnhd", ds, k, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+    dk = jnp.einsum(
+        "bhnm,bnhd->bmhd", ds, q, preferred_element_type=jnp.float32
+    ).astype(k.dtype)
+    return dq, dk, dv
+
+
+einsum_attention_bnhd_lightres.defvjp(_lightres_fwd, _lightres_bwd)
 
 _REMAT_ATTENTION = False
+_LIGHT_RESIDUALS = os.environ.get("MULTIMAE_TPU_LIGHT_ATTENTION_RESIDUALS") == "1"
 
 
 def set_attention_remat(enabled: bool):
     """Trade ~8% step time for O(B*H*N^2) fp32 activation memory.
 
     Must be set BEFORE tracing/jitting the model (read at trace time).
-    The pretraining CLI enables it automatically for batch sizes > 128.
+    Prefer set_light_attention_residuals for batch > 128 — same memory
+    relief with no recompute.
     """
     global _REMAT_ATTENTION
     _REMAT_ATTENTION = bool(enabled)
+
+
+def set_light_attention_residuals(enabled: bool):
+    """Save attention probabilities as bf16 instead of the fp32 softmax
+    output (einsum_attention_bnhd_lightres). Halves the O(B*H*N^2)
+    residual memory — lets batch 256 fit a 16 GB v5e with no remat
+    recompute. Measured ~3% step cost at B=128 (breaks one XLA bwd
+    fusion), so it stays OFF below the memory cliff. Trace-time switch;
+    the pretraining CLI enables it automatically for batch > 128.
+    """
+    global _LIGHT_RESIDUALS
+    _LIGHT_RESIDUALS = bool(enabled)
 
 
 def flash_attention_padded(q, k, v, sm_scale: float) -> jnp.ndarray:
@@ -126,10 +221,63 @@ def flash_attention_padded(q, k, v, sm_scale: float) -> jnp.ndarray:
     return out[:, :, :nq].astype(q.dtype)
 
 
+# Minimum kv length for the fused short-attention kernel. Measured on
+# v5e: at the pretrain/224px shapes (99-197 tokens, head_dim 32-64) the
+# per-head matmuls are so small that Mosaic's per-program overhead loses
+# to XLA's streamed batched GEMM (632 vs 919 samples/s end-to-end with
+# the kernel forced on) — XLA dense stays the default there. At 512px
+# fine-tune shapes (1025 tokens) the per-program work is large enough
+# for the kernel's zero-N^2-HBM-traffic advantage to pay (measured
+# below, see PARITY.md perf notes).
+SHORT_KERNEL_MIN_KV = int(os.environ.get("MULTIMAE_TPU_SHORT_KERNEL_MIN_KV", "512"))
+
+
+def _use_short_kernel(q, k) -> bool:
+    from multimae_tpu.ops import short_attention_pallas as sap
+
+    return (
+        os.environ.get("MULTIMAE_TPU_NO_SHORT_ATTENTION") != "1"
+        and jax.default_backend() == "tpu"
+        and q.dtype == jnp.bfloat16
+        and k.shape[1] >= SHORT_KERNEL_MIN_KV
+        and sap.supported(q, k)
+    )
+
+
 def fused_attention(q, k, v, sm_scale: float) -> jnp.ndarray:
-    """q: (B, H, Nq, D), k/v: (B, H, Nk, D) -> (B, H, Nq, D)."""
-    if _use_flash(q, k):
-        return flash_attention_padded(q, k, v, sm_scale)
+    """q: (B, H, Nq, D), k/v: (B, H, Nk, D) -> (B, H, Nq, D).
+
+    BHND-layout compatibility wrapper around fused_attention_bnhd."""
+    out = fused_attention_bnhd(
+        jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
+        sm_scale,
+    )
+    return jnp.swapaxes(out, 1, 2)
+
+
+def fused_attention_bnhd(q, k, v, sm_scale: float) -> jnp.ndarray:
+    """q: (B, Nq, H, D), k/v: (B, Nk, H, D) -> (B, Nq, H, D).
+
+    Dispatch (TPU, bf16): the fused short-sequence Pallas kernel
+    (ops/short_attention_pallas.py) for the 99-1025 token shapes this
+    model uses — no N^2 HBM traffic, softmax recomputed in backward so
+    no N^2 residuals either (supersedes wholesale attention remat).
+    Opt out with MULTIMAE_TPU_NO_SHORT_ATTENTION=1. The shipped flash
+    kernel stays opt-in for very long sequences; XLA dense einsum is the
+    CPU / fp32 / fallback path (golden-parity reference semantics).
+    """
+    if _use_short_kernel(q, k):
+        from multimae_tpu.ops.short_attention_pallas import short_attention
+
+        return short_attention(q, k, v, sm_scale)
+    if _use_flash_bnhd(q, k):
+        out = flash_attention_padded(
+            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+            jnp.swapaxes(v, 1, 2), sm_scale,
+        )
+        return jnp.swapaxes(out, 1, 2)
     if _REMAT_ATTENTION:
-        return einsum_attention_remat(q, k, v, sm_scale)
-    return einsum_attention(q, k, v, sm_scale)
+        return einsum_attention_bnhd_remat(q, k, v, sm_scale)
+    if _LIGHT_RESIDUALS and q.dtype == jnp.bfloat16:
+        return einsum_attention_bnhd_lightres(q, k, v, sm_scale)
+    return einsum_attention_bnhd(q, k, v, sm_scale)

@@ -1,0 +1,289 @@
+"""Fused short-sequence attention (Pallas, TPU), BNHD layout.
+
+Motivation (measured, tools/profile_step.py @ B=128 ViT-B pretrain):
+the XLA dense-attention path materialises the fp32 (B, H, N, N) logits
+and probability tensors in HBM — for the 4 pretraining decoders
+(N=196, head_dim 32) that traffic plus the small K=32 matmuls cost
+~21 ms/step of the 137 ms step. The sequences in this model are tiny
+(99-1025 tokens), so whole attention rows fit in VMEM: this kernel
+computes qk^T -> softmax -> @v in one fused program with NO N^2 HBM
+traffic.
+
+Layout: q/k/v come in as (B, N, H, D) — the NATURAL shape produced by
+reshaping the fused qkv Dense output — and the output is written back
+as (B, N, H, D), which reshapes to (B, N, C) for the out-projection for
+free. The first kernel iteration used (B, H, N, D) and measured SLOWER
+end-to-end (865 vs 919 samples/s): XLA had to materialise the moveaxis
+transposes at the pallas_call boundary that it previously fused into
+the attention einsums. The head transpose now happens inside the
+kernel, in VMEM.
+
+The backward pass is a second fused kernel that RECOMPUTES the softmax
+from q/k (flash-attention style): no N^2 residuals are saved at all,
+which also removes the fp32-softmax activation-memory problem that
+previously forced wholesale attention remat at batch >= 256
+(ops/attention.py).
+
+Numerics match ops/attention.einsum_attention: fp32 logits and softmax,
+probabilities cast to the input dtype for the @v matmul, fp32
+accumulation. Reference semantics: multimae/multimae_utils.py:170-182.
+
+Grid layouts (Pallas requires the last two block dims be (8,128)-
+divisible or full, so heads cannot be split in BNHD blocks):
+  * heads-batched BNHD (grid over B): one program handles all H heads
+    of one sample — the hot path for every <=~512-token shape.
+  * per-head BHND (grid over B*H): for longer sequences (512px
+    fine-tune, 1025 tokens) where the (H, Nq, Nk) fp32 tile would not
+    fit VMEM; the explicit head transpose is amortised by the O(N^2)
+    attention work at those lengths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Raise the Mosaic scoped-VMEM cap from the 16 MB default — v5e cores
+# have 128 MB of physical VMEM and the heads-batched decoder backward
+# needs ~19 MB per program.
+_VMEM_LIMIT = 64 * 1024 * 1024
+_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def _lane_pad(d):
+    return 128 * ((d + 127) // 128)
+
+
+def _footprint_bytes(nq, nk, h, d, itemsize, n_io):
+    """Rough per-program VMEM estimate for the heads-batched layout:
+    double-buffered IO blocks + in-kernel transposed copies + 3 fp32
+    (H, Nq, Nk) tiles."""
+    lanes = _lane_pad(d)
+    io = n_io * h * max(nq, nk) * lanes * itemsize * 3  # blocks x2 + copy
+    f32 = 3 * h * nq * _lane_pad(nk) * 4
+    return io + f32
+
+
+def _heads_batched(nq, nk, h, d, itemsize):
+    # Judge by the heavier (backward, n_io=7) kernel so fwd/bwd agree.
+    return _footprint_bytes(nq, nk, h, d, itemsize, 7) <= 40 * 1024 * 1024
+
+
+def _interpret():
+    # CPU tests exercise the kernel via the Pallas interpreter.
+    return jax.default_backend() != "tpu"
+
+
+def _softmax_rows(s):
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+# --------------------------- heads-batched (BNHD blocks, grid (B,)) ---
+
+
+def _attend_h(q, k, v, scale):
+    """q (H, Nq, D), k/v (H, Nk, D) -> fp32 (H, Nq, D), all in VMEM."""
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (H, Nq, Nk)
+    p = _softmax_rows(s.astype(jnp.float32) * scale)
+    return jax.lax.dot_general(
+        p.astype(q.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _fwd_kernel_h(q_ref, k_ref, v_ref, o_ref, *, scale):
+    q = jnp.swapaxes(q_ref[0], 0, 1)  # (H, Nq, D), VMEM relayout
+    k = jnp.swapaxes(k_ref[0], 0, 1)
+    v = jnp.swapaxes(v_ref[0], 0, 1)
+    o = _attend_h(q, k, v, scale)
+    o_ref[0] = jnp.swapaxes(o.astype(o_ref.dtype), 0, 1)
+
+
+def _bwd_kernel_h(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                  *, scale):
+    q = jnp.swapaxes(q_ref[0], 0, 1)
+    k = jnp.swapaxes(k_ref[0], 0, 1)
+    v = jnp.swapaxes(v_ref[0], 0, 1)
+    do = jnp.swapaxes(do_ref[0], 0, 1)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    p = _softmax_rows(s.astype(jnp.float32) * scale)  # (H, Nq, Nk) fp32
+    p_c = p.astype(q.dtype)
+    dv = jax.lax.dot_general(  # p^T @ do : contract Nq
+        p_c, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(  # do @ v^T : contract D
+        do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = (ds * scale).astype(q.dtype)
+    dq = jax.lax.dot_general(
+        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    dk = jax.lax.dot_general(
+        ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    dq_ref[0] = jnp.swapaxes(dq.astype(dq_ref.dtype), 0, 1)
+    dk_ref[0] = jnp.swapaxes(dk.astype(dk_ref.dtype), 0, 1)
+    dv_ref[0] = jnp.swapaxes(dv.astype(dv_ref.dtype), 0, 1)
+
+
+def _specs_h(nq, nk, h, d):
+    qspec = pl.BlockSpec((1, nq, h, d), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, nk, h, d), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return qspec, kspec
+
+
+# ------------------------------ per-head (BHND blocks, grid (B, H)) ---
+
+
+def _fwd_kernel_ph(q_ref, k_ref, v_ref, o_ref, *, scale):
+    q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]  # (N, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Nq, Nk)
+    p = _softmax_rows(s.astype(jnp.float32) * scale)
+    o = jnp.dot(p.astype(q.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel_ph(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                   *, scale):
+    q, k, v, do = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = _softmax_rows(s.astype(jnp.float32) * scale)
+    p_c = p.astype(q.dtype)
+    dv = jax.lax.dot_general(
+        p_c, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Nk, D)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Nq, Nk)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = (ds * scale).astype(q.dtype)
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _specs_ph(nq, nk, d):
+    qspec = pl.BlockSpec((1, 1, nq, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, 1, nk, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return qspec, kspec
+
+
+# ------------------------------------------------------------ driver --
+
+
+def _fwd(q, k, v, scale):
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    if _heads_batched(nq, nk, h, d, q.dtype.itemsize):
+        qspec, kspec = _specs_h(nq, nk, h, d)
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel_h, scale=scale),
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            grid=(b,),
+            in_specs=[qspec, kspec, kspec],
+            out_specs=qspec,
+            compiler_params=_PARAMS,
+            interpret=_interpret(),
+        )(q, k, v)
+    # long-sequence path: BHND with per-head programs
+    qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+    qspec, kspec = _specs_ph(nq, nk, d)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_ph, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        grid=(b, h),
+        in_specs=[qspec, kspec, kspec],
+        out_specs=qspec,
+        compiler_params=_PARAMS,
+        interpret=_interpret(),
+    )(qt, kt, vt)
+    return jnp.swapaxes(out, 1, 2)
+
+
+def _bwd(q, k, v, do, scale):
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    if _heads_batched(nq, nk, h, d, q.dtype.itemsize):
+        qspec, kspec = _specs_h(nq, nk, h, d)
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel_h, scale=scale),
+            out_shape=(
+                jax.ShapeDtypeStruct(q.shape, q.dtype),
+                jax.ShapeDtypeStruct(k.shape, k.dtype),
+                jax.ShapeDtypeStruct(v.shape, v.dtype),
+            ),
+            grid=(b,),
+            in_specs=[qspec, kspec, kspec, qspec],
+            out_specs=(qspec, kspec, kspec),
+            compiler_params=_PARAMS,
+            interpret=_interpret(),
+        )(q, k, v, do)
+    qt, kt, vt, dot_ = (jnp.swapaxes(x, 1, 2) for x in (q, k, v, do))
+    qspec, kspec = _specs_ph(nq, nk, d)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_ph, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct(qt.shape, q.dtype),
+            jax.ShapeDtypeStruct(kt.shape, k.dtype),
+            jax.ShapeDtypeStruct(vt.shape, v.dtype),
+        ),
+        grid=(b, h),
+        in_specs=[qspec, kspec, kspec, qspec],
+        out_specs=(qspec, kspec, kspec),
+        compiler_params=_PARAMS,
+        interpret=_interpret(),
+    )(qt, kt, vt, dot_)
+    return tuple(jnp.swapaxes(x, 1, 2) for x in (dq, dk, dv))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def short_attention(q, k, v, scale: float):
+    """q (B,Nq,H,D), k/v (B,Nk,H,D) -> (B,Nq,H,D). Fused on-chip softmax
+    attention; backward recomputes the softmax (no N^2 residuals)."""
+    return _fwd(q, k, v, scale)
+
+
+def _short_attention_fwd(q, k, v, scale):
+    return _fwd(q, k, v, scale), (q, k, v)
+
+
+def _short_attention_bwd(scale, res, g):
+    q, k, v = res
+    dq, dk, dv = _bwd(q, k, v, g, scale)
+    return dq, dk, dv
+
+
+short_attention.defvjp(_short_attention_fwd, _short_attention_bwd)
+
+
+def supported(q, k) -> bool:
+    """Shapes this kernel handles: short/mid sequences where one (Nq, Nk)
+    fp32 tile fits VMEM per program (per-head fallback). BNHD layout."""
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    if d > 256:
+        return False
+    return nq * _lane_pad(nk) * 4 * 3 <= 40 * 1024 * 1024

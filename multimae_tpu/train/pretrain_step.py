@@ -101,18 +101,9 @@ def make_pretrain_train_step(
     loss_on_unmasked: bool = False,
     clip_grad: Optional[float] = None,
     skip_grad: Optional[float] = None,
-    stacked_decoder=None,
-    stacked_out_tasks: Optional[Sequence[str]] = None,
-    query_task_of: Optional[Dict[str, str]] = None,
 ):
     """Build the jittable train step. The caller jits it (optionally with
-    shardings over a data mesh).
-
-    stacked_decoder: optional generic SpatialOutputAdapter for the
-    vmapped-decoder fast path (see models/stacked_decoder.py); when set,
-    the model runs encode_only and all decoders execute as one batched
-    computation.
-    """
+    shardings over a data mesh)."""
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array,
                    task_masks: Optional[Dict[str, jnp.ndarray]] = None):
@@ -128,37 +119,16 @@ def make_pretrain_train_step(
         input_dict = {t: v for t, v in tasks_dict.items() if t in in_domains}
 
         def loss_fn(params):
-            if stacked_decoder is not None:
-                from multimae_tpu.models.stacked_decoder import (
-                    run_stacked_decoders,
-                )
-
-                enc_tokens, masks, ids_keep, ids_restore, info = model.apply(
-                    {"params": params["model"]},
-                    input_dict,
-                    train=True,
-                    num_encoded_tokens=num_encoded_tokens,
-                    alphas=alphas,
-                    sample_tasks_uniformly=sample_tasks_uniformly,
-                    encode_only=True,
-                    rngs={"masking": rng_mask, "dropout": rng_drop},
-                )
-                preds = run_stacked_decoders(
-                    stacked_decoder, params["model"], enc_tokens, info,
-                    ids_keep, ids_restore, stacked_out_tasks, query_task_of,
-                    train=True,
-                )
-            else:
-                preds, masks = model.apply(
-                    {"params": params["model"]},
-                    input_dict,
-                    train=True,
-                    num_encoded_tokens=num_encoded_tokens,
-                    alphas=alphas,
-                    sample_tasks_uniformly=sample_tasks_uniformly,
-                    task_masks=task_masks,
-                    rngs={"masking": rng_mask, "dropout": rng_drop},
-                )
+            preds, masks = model.apply(
+                {"params": params["model"]},
+                input_dict,
+                train=True,
+                num_encoded_tokens=num_encoded_tokens,
+                alphas=alphas,
+                sample_tasks_uniformly=sample_tasks_uniformly,
+                task_masks=task_masks,
+                rngs={"masking": rng_mask, "dropout": rng_drop},
+            )
             targets = dict(tasks_dict)
             if extra_norm_pix_loss:
                 targets["norm_rgb"] = targets["rgb"]

@@ -84,7 +84,28 @@ def build_step(batch_size):
     return dp_step, state, batch
 
 
-def aggregate_trace(trace_dir, top):
+_SCOPE_PATTERNS = [
+    (re.compile(r"output_adapters_(\w+?)/"), lambda m: f"decoder:{m.group(1)}"),
+    (re.compile(r"input_adapters_(\w+?)/"), lambda m: f"tokenize:{m.group(1)}"),
+    (re.compile(r"encoder_\d+/"), lambda m: "encoder"),
+    (re.compile(r"stacked|FusedDecoders|fused_decoders"), lambda m: "decoder:fused"),
+]
+
+
+def _scope_of(tf_op, source):
+    for pat, fmt in _SCOPE_PATTERNS:
+        m = pat.search(tf_op or "")
+        if m:
+            return fmt(m)
+    src = source or ""
+    for mod in ("criterion", "masking", "gather", "optim", "schedules",
+                "task_balancing", "pretrain_step", "train_state", "attention"):
+        if mod in src:
+            return f"module:{mod}"
+    return "other"
+
+
+def aggregate_trace(trace_dir, top, steps):
     files = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not files:
@@ -94,32 +115,39 @@ def aggregate_trace(trace_dir, top):
     with gzip.open(path, "rt") as f:
         data = json.load(f)
     events = data.get("traceEvents", [])
-    # Identify device lanes (TPU/accelerator pids) via process names.
-    pid_names = {}
+    # "XLA Ops" threads hold the leaf device ops (parents live on the
+    # "Steps"/"XLA Modules" threads and would double-count).
+    op_tids = set()
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_names[e["pid"]] = e.get("args", {}).get("name", "")
-    dev_pids = {
-        pid for pid, name in pid_names.items()
-        if re.search(r"TPU|/device|Device|XLA", name or "")
-    }
-    per_op = defaultdict(float)
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            if e.get("args", {}).get("name") == "XLA Ops":
+                op_tids.add((e["pid"], e["tid"]))
+    per_src = defaultdict(float)
+    per_scope = defaultdict(float)
     count = defaultdict(int)
     total = 0.0
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tids:
             continue
-        name = e.get("name", "")
+        args = e.get("args", {})
         dur = e.get("dur", 0) / 1e3  # us -> ms
-        per_op[name] += dur
-        count[name] += 1
+        src = args.get("source", "?")
+        key = f"{src}  [{args.get('tf_op', '')[:70]}]"
+        per_src[key] += dur
+        count[key] += 1
+        per_scope[_scope_of(args.get("tf_op"), src)] += dur
         total += dur
     print(f"\ntrace: {path}")
-    print(f"device lanes: {sorted(pid_names[p] for p in dev_pids)}")
-    print(f"total device op time: {total:.2f} ms\n")
-    print(f"{'ms':>9}  {'%':>5}  {'n':>5}  op")
-    for name, ms in sorted(per_op.items(), key=lambda kv: -kv[1])[:top]:
-        print(f"{ms:9.2f}  {100 * ms / max(total, 1e-9):5.1f}  {count[name]:5d}  {name[:120]}")
+    print(f"total leaf op time: {total:.2f} ms over {steps} steps "
+          f"= {total / steps:.2f} ms/step\n")
+    print("== by scope (ms/step) ==")
+    for name, ms in sorted(per_scope.items(), key=lambda kv: -kv[1]):
+        print(f"{ms / steps:9.3f}  {100 * ms / max(total, 1e-9):5.1f}%  {name}")
+    print(f"\n== by source line (top {top}, ms/step) ==")
+    print(f"{'ms/step':>9}  {'%':>5}  {'n':>5}  source [tf_op]")
+    for name, ms in sorted(per_src.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{ms / steps:9.3f}  {100 * ms / max(total, 1e-9):5.1f}  "
+              f"{count[name]:5d}  {name[:150]}")
 
 
 def main():
@@ -153,7 +181,7 @@ def main():
     print(f"{args.steps} steps in {dt * 1e3:.1f} ms -> "
           f"{args.batch * args.steps * jax.device_count() / dt:.1f} samples/s "
           f"({dt * 1e3 / args.steps:.2f} ms/step)")
-    aggregate_trace(args.out, args.top)
+    aggregate_trace(args.out, args.top, args.steps)
 
 
 if __name__ == "__main__":
