@@ -204,6 +204,13 @@ class SemSegInputAdapter(nn.Module):
             "bhwc,cd->bhwd", onehot, class_emb.astype(self.dtype),
             preferred_element_type=jnp.float32,
         ).astype(self.dtype)  # (B, H, W, 64)
+        # Under a data mesh GSPMD mis-propagated shardings through the
+        # downstream patchify reshape/transpose ("involuntary full
+        # rematerialization" warnings); pin batch sharding here so the
+        # chain stays batch-sharded. No-op without a registered mesh.
+        from multimae_tpu.parallel.mesh import constrain_batch_sharded
+
+        emb = constrain_batch_sharded(emb)
 
         if self.interpolate_class_emb:
             # Reference downsamples embeddings bilinearly then 1x1-projects
@@ -219,7 +226,7 @@ class SemSegInputAdapter(nn.Module):
                 name="proj",
             )(tokens)
         else:
-            tokens = patchify(emb, ph, pw)
+            tokens = constrain_batch_sharded(patchify(emb, ph, pw))
             tokens = nn.Dense(
                 self.dim_tokens,
                 dtype=self.dtype,

@@ -54,6 +54,9 @@ def shard_state_fsdp(state, mesh: Mesh, min_size: int = 2**15):
 
 def jit_fsdp(train_step, state, mesh: Mesh, min_size: int = 2**15):
     """jit the step with FSDP state shardings + batch sharded on 'data'."""
+    from multimae_tpu.parallel.mesh import use_constraint_mesh
+
+    use_constraint_mesh(mesh)
     state_sh = fsdp_shardings(state, mesh, min_size)
     data_sh = NamedSharding(mesh, P(DATA_AXIS))
     repl = NamedSharding(mesh, P())

@@ -44,6 +44,36 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+# --- batch-sharding constraints inside traced model code ---------------
+#
+# GSPMD occasionally mis-propagates shardings through reshape/transpose
+# chains (measured: the semseg tokenize patchify transposes drew
+# "[SPMD] Involuntary full rematerialization" warnings under an 8-way
+# data mesh — the compiler replicated the tensor to reshard). Model code
+# calls `constrain_batch_sharded` on such intermediates; it is a no-op
+# unless a mesh has been registered for the current trace via
+# `use_constraint_mesh` (the jit helpers do this).
+
+_CONSTRAINT_MESH: Optional[Mesh] = None
+
+
+def use_constraint_mesh(mesh: Optional[Mesh]):
+    """Register the mesh that in-model batch constraints should target.
+    Call before tracing/jitting; pass None to clear."""
+    global _CONSTRAINT_MESH
+    _CONSTRAINT_MESH = mesh
+
+
+def constrain_batch_sharded(x):
+    """Pin an intermediate to batch-dim sharding (dim 0 over 'data')."""
+    if _CONSTRAINT_MESH is None:
+        return x
+    spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(_CONSTRAINT_MESH, spec)
+    )
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

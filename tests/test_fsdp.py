@@ -109,3 +109,25 @@ def test_fsdp_step_matches_dp():
     big = max(flat_p.values(), key=lambda v: v.size)
     shard = big.addressable_shards[0].data
     assert shard.size < big.size
+
+
+def test_dp_step_compiles_without_resharding_collectives():
+    """Regression for the GSPMD 'involuntary full rematerialization' on
+    the semseg tokenize transposes (round-1 MULTICHIP dryrun warnings):
+    a pure data-parallel step needs only gradient/metric all-reduces —
+    any all-gather / all-to-all / collective-permute in the compiled
+    module means the partitioner had to reshard an intermediate."""
+    mesh = create_mesh()
+    params, tx, step, batch = _setup()
+    state = TrainState.create(params=params, tx=tx)
+    state = state.replace(
+        params=replicate(state.params, mesh),
+        opt_state=replicate(state.opt_state, mesh),
+    )
+    dp_step = jit_data_parallel(step, mesh)
+    sharded = shard_batch(batch, mesh)
+    compiled = dp_step.lower(state, sharded, jax.random.PRNGKey(0)).compile()
+    hlo = compiled.as_text()
+    assert "all-reduce" in hlo  # gradient psums must be there
+    for op in ("all-gather", "all-to-all", "collective-permute"):
+        assert op not in hlo, f"unexpected resharding collective: {op}"
