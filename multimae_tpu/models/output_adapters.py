@@ -156,6 +156,23 @@ class SpatialOutputAdapter(nn.Module):
             name="out_proj",
         )
 
+    def _fused_core_ok(self) -> bool:
+        """Gate for the fused Pallas decoder core: TPU (or a test force
+        mode), xattn form, no stochastic regularisers, bf16/fp32."""
+        from multimae_tpu.ops import fused_decoder_pallas as fdp
+
+        return (
+            self.use_xattn
+            and self.depth >= 1
+            and not self.is_initializing()
+            and fdp.enabled()
+            and jnp.dtype(self.dtype) in (jnp.dtype(jnp.bfloat16),
+                                          jnp.dtype(jnp.float32))
+            and self.drop_rate == 0.0
+            and self.attn_drop_rate == 0.0
+            and self.drop_path_rate == 0.0
+        )
+
     def generate_context_embeddings(self, input_info, bs: int, size: Tuple[int, int]):
         """Reference :160-181."""
         context_embeddings = []
@@ -269,18 +286,41 @@ class SpatialOutputAdapter(nn.Module):
             context_tokens, input_info, ids_keep, ids_restore
         )
 
-        if self.use_xattn:
+        from multimae_tpu.parallel.mesh import (
+            constraint_data_size,
+            data_shard_map,
+        )
+
+        if self._fused_core_ok() and queries.shape[0] % constraint_data_size() == 0:
+            # TPU hot path: the whole xattn + MLP + transformer stack as
+            # one VMEM-resident Pallas program (ops/fused_decoder_pallas),
+            # shard_mapped over the data axis under a multi-chip mesh
+            # (GSPMD would otherwise replicate the opaque kernel).
+            from multimae_tpu.ops import fused_decoder_pallas as fdp
+
+            heads, depth, dtype = self.num_heads, self.depth, self.dtype
+            core = data_shard_map(
+                lambda q, c, w: fdp.fused_decoder_core(
+                    q, c, w, heads, depth, dtype
+                )
+            )
+            x = core(
+                queries, context,
+                fdp.collect_core_weights(self.variables["params"], self.depth),
+            )
+        elif self.use_xattn:
             x = self.decoder(
                 self.query_norm(queries),
                 self.context_norm(context),
                 deterministic=not train,
             )
             x = x + self.mlp(self.out_norm(x), deterministic=not train)
+            for blk in self.decoder_transformer:
+                x = blk(x, deterministic=not train)
         else:
             x = queries
-
-        for blk in self.decoder_transformer:
-            x = blk(x, deterministic=not train)
+            for blk in self.decoder_transformer:
+                x = blk(x, deterministic=not train)
 
         x = self.out_proj(x)
         if self.return_patches:

@@ -65,12 +65,49 @@ def use_constraint_mesh(mesh: Optional[Mesh]):
 
 
 def constrain_batch_sharded(x):
-    """Pin an intermediate to batch-dim sharding (dim 0 over 'data')."""
+    """Pin an intermediate to batch-dim sharding (dim 0 over 'data').
+
+    A layout HINT, not a requirement: skipped when the (global) batch
+    dim is not divisible by the data axis — e.g. eager/odd-batch runs
+    traced after a mesh was registered by an earlier jit helper."""
     if _CONSTRAINT_MESH is None:
+        return x
+    n_data = _CONSTRAINT_MESH.shape.get(DATA_AXIS, 1)
+    if n_data <= 1 or x.shape[0] % n_data:
         return x
     spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(_CONSTRAINT_MESH, spec)
+    )
+
+
+def constraint_data_size() -> int:
+    """Size of the data axis of the registered constraint mesh (1 if no
+    mesh is registered)."""
+    if _CONSTRAINT_MESH is None:
+        return 1
+    return int(_CONSTRAINT_MESH.shape.get(DATA_AXIS, 1))
+
+
+def data_shard_map(fn):
+    """Run a per-sample-independent fn per-device over the data axis.
+
+    GSPMD replicates opaque custom calls (Pallas kernels) instead of
+    partitioning them, which would gather the whole global batch onto
+    every chip. shard_map pins batch-dim partitioning: operands split on
+    dim 0 over 'data', every other input replicated (FSDP-sharded params
+    all-gather, and their cotangents psum, exactly as GSPMD would).
+    Identity when no multi-device data mesh is registered (single chip,
+    eager, CPU tests)."""
+    if constraint_data_size() <= 1:
+        return fn
+    from jax import shard_map
+
+    return shard_map(
+        fn, mesh=_CONSTRAINT_MESH,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
     )
 
 
