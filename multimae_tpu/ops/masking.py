@@ -48,6 +48,46 @@ def sample_alphas(
     return choices[idx] * alphas_arr + eps
 
 
+def _gamma_mt(key: jax.Array, alpha: jnp.ndarray, n_rounds: int = 12) -> jnp.ndarray:
+    """Loop-free Gamma(alpha) sampler (Marsaglia-Tsang squeeze, fixed fan-out).
+
+    jax.random.gamma wraps its rejection sampler in a while_loop whose
+    "all elements accepted" condition becomes a cross-device all-reduce
+    PER ITERATION once the batch is sharded over a mesh — per-step ICI
+    chatter on a pod, and a rendezvous deadlock on oversubscribed CPU
+    hosts. This sampler instead draws `n_rounds` independent proposals
+    per element up front (static shapes, no control flow) and takes the
+    first accepted one. Acceptance per proposal is > 0.95, so all-reject
+    probability is < 1e-15 at n_rounds=12; the mean draw is used as a
+    numerical backstop in that event.
+
+    Uses the alpha >= 1 form on (alpha + 1) with the U^(1/alpha) boost,
+    which keeps one code path for every alpha > 0 (the boost underflows
+    to 0 for the eps-sized concentrations `sample_alphas` assigns to
+    excluded tasks, which is the intended "this task gets no tokens").
+    """
+    a = alpha.astype(jnp.float32) + 1.0
+    d = a - 1.0 / 3.0
+    c = 1.0 / jnp.sqrt(9.0 * d)
+    k_n, k_u, k_b = jax.random.split(key, 3)
+    shape = (n_rounds,) + alpha.shape
+    tiny = jnp.finfo(jnp.float32).tiny
+    x = jax.random.normal(k_n, shape, jnp.float32)
+    u = jax.random.uniform(k_u, shape, jnp.float32, minval=tiny)
+    w = 1.0 + c * x
+    v = w * w * w
+    ok = (w > 0.0) & (
+        jnp.log(u)
+        < 0.5 * x * x + d - d * v + d * jnp.log(jnp.where(w > 0.0, v, 1.0))
+    )
+    # Select the first accepted proposal without gathers: the cumulative
+    # count equals 1 exactly at the first True.
+    first = ok & (jnp.cumsum(ok.astype(jnp.int32), axis=0) == 1)
+    v_sel = jnp.where(jnp.any(ok, axis=0), jnp.sum(jnp.where(first, v, 0.0), axis=0), 1.0)
+    boost = jax.random.uniform(k_b, alpha.shape, jnp.float32, minval=tiny)
+    return d * v_sel * jnp.exp(jnp.log(boost) / alpha)
+
+
 def dirichlet_task_proportions(
     key: jax.Array,
     batch: int,
@@ -55,18 +95,30 @@ def dirichlet_task_proportions(
     alphas: Union[float, Sequence[float]] = 1.0,
     sample_tasks_uniformly: bool = False,
 ) -> jnp.ndarray:
-    """(B, n_tasks) rows on the simplex."""
+    """(B, n_tasks) rows on the simplex.
+
+    Loop-free by construction (see _gamma_mt): safe to shard over a data
+    mesh with no collectives. The flat Dirichlet(1, ..., 1) of the
+    default recipe is sampled exactly as normalized Exp(1) draws.
+    """
     if sample_tasks_uniformly:
         k1, k2 = jax.random.split(key)
         alpha_mat = sample_alphas(k1, batch, n_tasks, alphas)
         # Dirichlet via normalized Gammas supports per-sample concentrations.
-        gammas = jax.random.gamma(k2, alpha_mat)
+        gammas = _gamma_mt(k2, alpha_mat)
         return gammas / jnp.sum(gammas, axis=-1, keepdims=True)
-    alphas_arr = jnp.asarray(
-        [alphas] * n_tasks if isinstance(alphas, (int, float)) else list(alphas),
-        dtype=jnp.float32,
+    alphas_list = (
+        [float(alphas)] * n_tasks
+        if isinstance(alphas, (int, float))
+        else [float(a) for a in alphas]
     )
-    return jax.random.dirichlet(key, alphas_arr, shape=(batch,))
+    if all(a == 1.0 for a in alphas_list):
+        e = jax.random.exponential(key, (batch, n_tasks), jnp.float32)
+        return e / jnp.sum(e, axis=-1, keepdims=True)
+    gammas = _gamma_mt(
+        key, jnp.broadcast_to(jnp.asarray(alphas_list, jnp.float32), (batch, n_tasks))
+    )
+    return gammas / jnp.sum(gammas, axis=-1, keepdims=True)
 
 
 def generate_random_masks(

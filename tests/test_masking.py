@@ -94,3 +94,92 @@ def test_masks_to_indices_roundtrip():
         assert set(np.asarray(ids_keep2)[b].tolist()) == set(
             np.asarray(ids_keep)[b].tolist()
         )
+
+
+def _dirichlet_moments(alphas):
+    a = np.asarray(alphas, np.float64)
+    s = a.sum()
+    mean = a / s
+    var = a * (s - a) / (s * s * (s + 1.0))
+    return mean, var
+
+
+def test_dirichlet_moments_flat_alpha():
+    # alphas == 1.0 takes the loop-free normalized-exponential fast path.
+    from multimae_tpu.ops.masking import dirichlet_task_proportions
+
+    p = np.asarray(
+        dirichlet_task_proportions(jax.random.PRNGKey(10), 40000, 3, alphas=1.0)
+    )
+    assert p.shape == (40000, 3)
+    np.testing.assert_allclose(p.sum(axis=1), 1.0, atol=1e-5)
+    mean, var = _dirichlet_moments([1.0, 1.0, 1.0])
+    np.testing.assert_allclose(p.mean(axis=0), mean, atol=0.01)
+    np.testing.assert_allclose(p.var(axis=0), var, atol=0.01)
+
+
+def test_dirichlet_moments_general_alpha():
+    # Non-flat alphas exercise the fixed-fan-out Marsaglia-Tsang sampler.
+    from multimae_tpu.ops.masking import dirichlet_task_proportions
+
+    alphas = (2.0, 5.0, 0.5)
+    p = np.asarray(
+        dirichlet_task_proportions(
+            jax.random.PRNGKey(11), 40000, 3, alphas=alphas
+        )
+    )
+    np.testing.assert_allclose(p.sum(axis=1), 1.0, atol=1e-5)
+    mean, var = _dirichlet_moments(alphas)
+    np.testing.assert_allclose(p.mean(axis=0), mean, atol=0.01)
+    np.testing.assert_allclose(p.var(axis=0), var, atol=0.01)
+
+
+def test_gamma_mt_matches_jax_gamma_moments():
+    from multimae_tpu.ops.masking import _gamma_mt
+
+    for alpha in (0.5, 1.0, 4.0):
+        a = jnp.full((40000,), alpha, jnp.float32)
+        g = np.asarray(_gamma_mt(jax.random.PRNGKey(12), a))
+        assert np.all(g >= 0)
+        np.testing.assert_allclose(g.mean(), alpha, rtol=0.05)
+        np.testing.assert_allclose(g.var(), alpha, rtol=0.08)
+
+
+def test_masking_compiles_loop_free_under_data_mesh():
+    """Regression: jax.random.gamma's rejection while_loop turned into a
+    per-iteration cross-device all-reduce once the batch was sharded
+    (deadlocks CPU rendezvous; ICI chatter on pods). The sampler must
+    compile with NO while loop at all under an 8-way data mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimae_tpu.ops.masking import generate_random_masks
+    from multimae_tpu.parallel.mesh import create_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 devices")
+    mesh = create_mesh(devices=jax.devices()[:8])
+
+    def fn(key):
+        masks, ids_keep, ids_restore = generate_random_masks(
+            key, 16, TOKENS, K, alphas=1.0, sample_tasks_uniformly=True
+        )
+        return ids_keep
+
+    compiled = (
+        jax.jit(fn, out_shardings=NamedSharding(mesh, P("data")))
+        .lower(jax.random.PRNGKey(0))
+        .compile()
+    )
+    txt = compiled.as_text()
+    # XLA CPU lowers threefry PRNG through fixed-trip-count while loops
+    # (collective-free); the property that matters is that NO collective
+    # exists anywhere (so none can sit inside a loop) and the gamma
+    # rejection sampler is gone entirely.
+    assert "all-reduce" not in txt and "collective" not in txt, (
+        "masking sampler compiled cross-device collectives under a data mesh"
+    )
+    assert "jit(_gamma)" not in txt, (
+        "jax.random.gamma rejection sampler reappeared in the masking path"
+    )
