@@ -212,3 +212,58 @@ def test_cutmix_lam_no_numpy_deprecation():
         )
     assert isinstance(lam, float)
     assert 0.0 <= lam <= 1.0
+
+
+def test_extract_spp_stats_matches_torch_semantics():
+    """SPP stats utility (reference utils/model.py:48-106): fnmatch module
+    selection + channel statistics over capture_intermediates."""
+    import jax
+    import numpy as np
+
+    from multimae_tpu.models import MultiMAE, PatchedInputAdapter
+    from multimae_tpu.utils.model_utils import (
+        avg_ch_var,
+        avg_sq_ch_mean,
+        extract_spp_stats,
+    )
+
+    model = MultiMAE(
+        input_adapters={
+            "rgb": __import__("functools").partial(
+                PatchedInputAdapter, num_channels=3, stride_level=1,
+                patch_size_full=16, image_size=32,
+            )
+        },
+        output_adapters=None,
+        dim_tokens=32, depth=2, num_heads=4,
+    )
+    batch = {"rgb": jax.numpy.ones((2, 32, 32, 3))}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
+        batch, num_encoded_tokens=3,
+    )
+    stats = extract_spp_stats(
+        model, {"params": variables["params"]}, batch,
+        hook_fn_locs=["encoder_*.mlp", "encoder_*.attn"],
+        hook_fns=[avg_ch_var, avg_sq_ch_mean],
+        num_encoded_tokens=3,
+        rngs={"masking": jax.random.PRNGKey(2)},
+    )
+    assert set(stats) == {"avg_ch_var", "avg_sq_ch_mean"}
+    # 2 encoder blocks -> 2 mlp modules and 2 attn modules matched.
+    assert [n for n, _ in stats["avg_ch_var"]] == ["encoder_0.mlp", "encoder_1.mlp"]
+    assert [n for n, _ in stats["avg_sq_ch_mean"]] == [
+        "encoder_0.attn", "encoder_1.attn"]
+    for vals in stats.values():
+        for _, v in vals:
+            assert np.isfinite(v) and v >= 0
+
+    # torch-semantics cross-check of the stat fns on a known array.
+    import torch
+
+    x = np.random.default_rng(0).standard_normal((2, 5, 7, 3)).astype(np.float32)
+    tx = torch.tensor(x).permute(0, 3, 1, 2)  # NCHW like the reference
+    ref_var = float(torch.mean(tx.var(axis=[0, 2, 3])))
+    ref_sqm = float(torch.mean(tx.mean(axis=[0, 2, 3]) ** 2))
+    np.testing.assert_allclose(avg_ch_var(jax.numpy.asarray(x)), ref_var, rtol=1e-5)
+    np.testing.assert_allclose(avg_sq_ch_mean(jax.numpy.asarray(x)), ref_sqm, rtol=1e-5)
