@@ -77,24 +77,35 @@ def available() -> bool:
     return _load() is not None
 
 
+# Per-process scratch for decode_jpeg (grain workers are processes, and
+# within one worker decodes are sequential): grown on demand, reused —
+# a fresh worst-case allocation per image costs page faults at 25 MB+.
+_DECODE_BUF = None
+
+
 def decode_jpeg(data: bytes, min_size: int = 0) -> Optional[np.ndarray]:
     """Decode JPEG bytes to (H, W, 3) uint8. min_size > 0 enables DCT-domain
     downscaling: decodes at the largest 1/2^k scale whose short side still
     >= min_size. Returns None on failure (caller falls back to PIL)."""
+    global _DECODE_BUF
     lib = _load()
     if lib is None:
         return None
-    # Worst case full-size buffer: read dims from the JPEG SOF via trial
-    # decode with generous cap (64MP RGB).
-    cap = 64 * 1024 * 1024 * 3
-    out = np.empty(cap, np.uint8)
+    if _DECODE_BUF is None:
+        _DECODE_BUF = np.empty(8 * 1024 * 1024 * 3, np.uint8)  # 8 MP start
     h = ctypes.c_int()
     w = ctypes.c_int()
-    rc = lib.mm_decode_jpeg(
-        data, len(data), min_size,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
-        ctypes.byref(h), ctypes.byref(w),
-    )
+    while True:
+        out = _DECODE_BUF
+        rc = lib.mm_decode_jpeg(
+            data, len(data), min_size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
+            ctypes.byref(h), ctypes.byref(w),
+        )
+        if rc == -3 and out.size < 64 * 1024 * 1024 * 3:  # too small: grow
+            _DECODE_BUF = np.empty(out.size * 4, np.uint8)
+            continue
+        break
     if rc != 0:
         return None
     return out[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()

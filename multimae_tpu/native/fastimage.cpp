@@ -9,7 +9,8 @@
 // ImageNet normalisation into the final float32 NHWC tensor.
 //
 // Exposed via ctypes (multimae_tpu/native/__init__.py); no Python.h
-// dependency. Build: see multimae_tpu/native/build.py.
+// dependency. Auto-built by multimae_tpu/native/__init__.py:_build on
+// first import (g++ -O3 -march=native, cached as libfastimage.so).
 
 #include <algorithm>
 #include <cmath>
