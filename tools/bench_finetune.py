@@ -1,0 +1,159 @@
+"""Fine-tune-regime benchmark: 512px semseg train-step throughput.
+
+The pretrain bench (bench.py) covers the 99-token masked regime; this
+one pins the 1025-token (512px, patch 16) fine-tune regime where the
+attention engine switches: ops/short_attention_pallas.py auto-dispatches
+for kv >= 512 (MULTIMAE_TPU_SHORT_KERNEL_MIN_KV) and was measured ~2x
+faster than XLA dense fwd+bwd at this shape, while also saving all
+O(N^2) attention residuals.
+
+Measures the FULL jitted semseg fine-tune train step (ViT-B RGB+D ->
+ConvNeXt decoder, the ADE20K/NYU recipe shape: reference
+run_finetuning_semseg.py:371-447) twice - Pallas auto-dispatch vs
+XLA-dense-forced - and prints one JSON line per engine plus the ratio.
+
+Usage: python tools/bench_finetune.py [--batch 16] [--input_size 512]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build(args, dtype):
+    import functools
+
+    import jax.numpy as jnp  # noqa: F401
+
+    from multimae_tpu.models import ConvNeXtAdapter, PatchedInputAdapter
+    from multimae_tpu.models.registry import create_model
+
+    input_adapters = {
+        "rgb": functools.partial(
+            PatchedInputAdapter, num_channels=3, stride_level=1,
+            patch_size_full=16, image_size=args.input_size,
+        ),
+        "depth": functools.partial(
+            PatchedInputAdapter, num_channels=1, stride_level=1,
+            patch_size_full=16, image_size=args.input_size,
+        ),
+    }
+    output_adapters = {
+        "semseg": functools.partial(
+            ConvNeXtAdapter, num_classes=args.num_classes,
+            preds_per_patch=16, depth=4, embed_dim=6144,
+            patch_size=16, main_tasks=("rgb",),
+        )
+    }
+    return create_model(
+        "multivit_base", input_adapters=input_adapters,
+        output_adapters=output_adapters, drop_path_rate=0.1, dtype=dtype,
+    )
+
+
+def measure(args, label):
+    import jax
+    import jax.numpy as jnp
+
+    from multimae_tpu.cli.run_finetuning_semseg import seg_cross_entropy
+    from multimae_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+    from multimae_tpu.train.finetune_step import make_dense_train_step
+    from multimae_tpu.train.optim_factory import create_optimizer
+    from multimae_tpu.train.schedules import as_optax_schedule, cosine_scheduler
+    from multimae_tpu.train.train_state import TrainState
+
+    n_chips = jax.device_count()
+    mesh = create_mesh()
+    b = args.batch * n_chips
+    s = args.input_size
+
+    model = build(args, jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "rgb": jax.random.normal(rng, (b, s, s, 3), jnp.float32),
+        "depth": jax.random.normal(rng, (b, s, s, 1), jnp.float32),
+        "target": jax.random.randint(
+            jax.random.PRNGKey(1), (b, s, s), 0, args.num_classes, jnp.int32
+        ),
+    }
+    params = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jax.tree.map(lambda x: x[:2], {k: v for k, v in batch.items() if k != "target"}),
+            train=False,
+        )["params"]
+    )()
+    lr = as_optax_schedule(
+        cosine_scheduler(1e-4, 0.0, epochs=64, niter_per_ep=100, warmup_epochs=1)
+    )
+    tx = create_optimizer(
+        params, opt="adamw", lr_schedule=lr, weight_decay=0.05,
+        opt_betas=(0.9, 0.999), filter_bias_and_bn=True,
+    )
+    state = TrainState.create(params=params, tx=tx)
+    state = state.replace(
+        params=replicate(state.params, mesh),
+        opt_state=replicate(state.opt_state, mesh),
+    )
+    step = make_dense_train_step(
+        model, "semseg", seg_cross_entropy, in_domains=("rgb", "depth"),
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+    dp_step = jax.jit(step, in_shardings=(repl, data_sh, repl),
+                      out_shardings=(repl, repl), donate_argnums=(0,))
+    batch = shard_batch(batch, mesh)
+    key = jax.random.PRNGKey(2)
+
+    for _ in range(3):
+        state, metrics = dp_step(state, batch, key)
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = dp_step(state, batch, key)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+    per_chip = b * args.steps / dt / n_chips
+    print(json.dumps({
+        "metric": f"finetune_semseg_{s}px_throughput_{label}",
+        "value": round(per_chip, 2),
+        "unit": "samples/sec/chip",
+    }))
+    return per_chip
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16, help="per-chip batch")
+    ap.add_argument("--input_size", type=int, default=512)
+    ap.add_argument("--num_classes", type=int, default=150)
+    ap.add_argument("--steps", type=int, default=10)
+    args = ap.parse_args()
+
+    from multimae_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+
+    # Engine A: auto-dispatch (short-attention Pallas kernel for kv>=512).
+    pallas = measure(args, "pallas_auto")
+    # Engine B: XLA dense einsum forced (module attr: the env var is only
+    # read at import time).
+    import multimae_tpu.ops.attention as attn
+
+    attn.SHORT_KERNEL_MIN_KV = 10**9
+    dense = measure(args, "xla_dense")
+    print(json.dumps({
+        "metric": f"finetune_semseg_{args.input_size}px_pallas_speedup",
+        "value": round(pallas / dense, 4),
+        "unit": "x",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -150,6 +150,74 @@ def aggregate_trace(trace_dir, top, steps):
               f"{count[name]:5d}  {name[:150]}")
 
 
+def build_step_finetune512(per_chip_batch, input_size):
+    """512px semseg fine-tune step (same construction as
+    tools/bench_finetune.py) for fine-tune-regime profiling."""
+    import argparse as _ap
+
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import bench_finetune as bf
+
+    fargs = _ap.Namespace(
+        batch=per_chip_batch, input_size=input_size, num_classes=150, steps=0
+    )
+    # Rebuild the measured pieces without timing: reuse bench_finetune's
+    # builder via a tiny shim around its measure() internals.
+    import jax.numpy as jnp
+
+    from multimae_tpu.cli.run_finetuning_semseg import seg_cross_entropy
+    from multimae_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+    from multimae_tpu.train.finetune_step import make_dense_train_step
+    from multimae_tpu.train.optim_factory import create_optimizer
+    from multimae_tpu.train.schedules import as_optax_schedule, cosine_scheduler
+    from multimae_tpu.train.train_state import TrainState
+
+    mesh = create_mesh()
+    b = per_chip_batch * jax.device_count()
+    s = input_size
+    model = bf.build(fargs, jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "rgb": jax.random.normal(rng, (b, s, s, 3), jnp.float32),
+        "depth": jax.random.normal(rng, (b, s, s, 1), jnp.float32),
+        "target": jax.random.randint(
+            jax.random.PRNGKey(1), (b, s, s), 0, 150, jnp.int32
+        ),
+    }
+    params = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jax.tree.map(lambda x: x[:2],
+                         {k: v for k, v in batch.items() if k != "target"}),
+            train=False,
+        )["params"]
+    )()
+    lr = as_optax_schedule(
+        cosine_scheduler(1e-4, 0.0, epochs=64, niter_per_ep=100, warmup_epochs=1)
+    )
+    tx = create_optimizer(
+        params, opt="adamw", lr_schedule=lr, weight_decay=0.05,
+        opt_betas=(0.9, 0.999), filter_bias_and_bn=True,
+    )
+    state = TrainState.create(params=params, tx=tx)
+    state = state.replace(
+        params=replicate(state.params, mesh),
+        opt_state=replicate(state.opt_state, mesh),
+    )
+    step = make_dense_train_step(
+        model, "semseg", seg_cross_entropy, in_domains=("rgb", "depth"),
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+    dp_step = jax.jit(step, in_shardings=(repl, data_sh, repl),
+                      out_shardings=(repl, repl), donate_argnums=(0,))
+    return dp_step, state, shard_batch(batch, mesh)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
@@ -157,6 +225,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--out", default="/tmp/mmtrace")
+    ap.add_argument("--mode", choices=("pretrain", "finetune512"),
+                    default="pretrain")
+    ap.add_argument("--input_size", type=int, default=512)
     args = ap.parse_args()
 
     from multimae_tpu.utils.jax_setup import setup_jax
@@ -164,7 +235,11 @@ def main():
     setup_jax()
     import jax
 
-    dp_step, state, batch = build_step(args.batch * jax.device_count())
+    if args.mode == "finetune512":
+        dp_step, state, batch = build_step_finetune512(
+            args.batch, args.input_size)
+    else:
+        dp_step, state, batch = build_step(args.batch * jax.device_count())
     rng = jax.random.PRNGKey(1)
     for _ in range(args.warmup):
         state, metrics = dp_step(state, batch, rng)
