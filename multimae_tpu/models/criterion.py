@@ -235,7 +235,10 @@ class MaskedCrossEntropyLoss:
         logits = input.astype(jnp.float32)
         num_classes = logits.shape[-1]
         logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+        # one-hot reduce: take_along_axis's backward is a serialized
+        # scatter on TPU (same rationale as the patch branch above).
+        onehot = jax.nn.one_hot(target, num_classes, dtype=logp.dtype)
+        nll = -(onehot * logp).sum(axis=-1)
         if self.label_smoothing > 0.0:
             smooth = -logp.mean(axis=-1)
             nll = (1.0 - self.label_smoothing) * nll + self.label_smoothing * smooth

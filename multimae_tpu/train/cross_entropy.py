@@ -12,7 +12,10 @@ def label_smoothing_cross_entropy(
     """Integer targets with label smoothing."""
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
+    # one-hot reduce: take_along_axis's backward is a serialized scatter
+    # on TPU (see models/criterion.py).
+    onehot = jax.nn.one_hot(targets, logits.shape[-1], dtype=logp.dtype)
+    nll = -(onehot * logp).sum(axis=-1)
     smooth = -logp.mean(axis=-1)
     return ((1.0 - smoothing) * nll + smoothing * smooth).mean()
 
