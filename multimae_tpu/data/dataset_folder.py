@@ -72,6 +72,21 @@ def pil_loader(path: str, convert_rgb: bool = True):
                     return Image.fromarray(arr, "RGB")
         except Exception:
             pass
+    if path.lower().endswith(".png"):
+        # Native libpng path (depth uint16 / semseg palette / gray):
+        # pixel-identical to PIL (tests/test_native.py), modestly faster,
+        # and keeps decode in one native layer with the JPEG path.
+        try:
+            from multimae_tpu import native
+
+            if native.available():
+                with open(path, "rb") as f:
+                    arr = native.decode_png(f.read(), want_rgb=convert_rgb)
+                if arr is not None:
+                    img = Image.fromarray(arr)
+                    return img.convert("RGB") if convert_rgb else img
+        except Exception:
+            pass
     with open(path, "rb") as f:
         img = Image.open(f)
         return img.convert("RGB") if convert_rgb else img.copy()

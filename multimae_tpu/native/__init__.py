@@ -25,7 +25,7 @@ _tried = False
 def _build() -> bool:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", _SO, "-ljpeg",
+        _SRC, "-o", _SO, "-ljpeg", "-lpng16",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=240)
@@ -61,6 +61,13 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_int, ctypes.c_int,
+    ]
+    lib.mm_decode_png.restype = ctypes.c_int
+    lib.mm_decode_png.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
     ]
     lib.mm_crop_resize_u8.restype = ctypes.c_int
     lib.mm_crop_resize_u8.argtypes = [
@@ -109,6 +116,47 @@ def decode_jpeg(data: bytes, min_size: int = 0) -> Optional[np.ndarray]:
     if rc != 0:
         return None
     return out[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
+
+
+def decode_png(data: bytes, want_rgb: bool = False) -> Optional[np.ndarray]:
+    """Decode PNG bytes via libpng16.
+
+    want_rgb: (H, W, 3) uint8 (palette/gray expanded, 16-bit stripped).
+    Otherwise the raw representation: palette -> (H, W) uint8 indices,
+    16-bit gray -> (H, W) uint16 (native endian), 8-bit gray -> (H, W)
+    uint8, RGB stays (H, W, 3) uint8. Alpha is stripped. Returns None on
+    failure (caller falls back to PIL)."""
+    global _DECODE_BUF
+    lib = _load()
+    if lib is None:
+        return None
+    if _DECODE_BUF is None:
+        _DECODE_BUF = np.empty(8 * 1024 * 1024 * 3, np.uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    depth = ctypes.c_int()
+    while True:
+        out = _DECODE_BUF
+        rc = lib.mm_decode_png(
+            data, len(data), int(want_rgb),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
+            ctypes.byref(h), ctypes.byref(w), ctypes.byref(c),
+            ctypes.byref(depth),
+        )
+        if rc == -3 and out.size < 64 * 1024 * 1024 * 3:
+            _DECODE_BUF = np.empty(out.size * 4, np.uint8)
+            continue
+        break
+    if rc != 0:
+        return None
+    nbytes = h.value * w.value * c.value * (depth.value // 8)
+    arr = out[:nbytes]
+    if depth.value == 16:
+        arr = arr.view(np.uint16)
+    if c.value > 1:
+        return arr.reshape(h.value, w.value, c.value).copy()
+    return arr.reshape(h.value, w.value).copy()
 
 
 def crop_resize_normalize(

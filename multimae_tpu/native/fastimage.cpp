@@ -21,8 +21,89 @@
 #include <vector>
 
 #include <jpeglib.h>
+#include <png.h>
 
 extern "C" {
+
+// --- PNG decode (libpng16) --------------------------------------------------
+//
+// The pretrain pipeline reads uint16 depth PNGs and palette ('P') semseg
+// PNGs; PIL's decoder measured 4.7 ms per ~500x380 uint16 file — the
+// single largest host stage (PIPELINE.md). This decodes from memory:
+//   want_rgb=1: force RGB8 (palette/gray expanded, 16-bit stripped).
+//   want_rgb=0: raw representation — palette -> 1-byte indices, gray16
+//     stays 16-bit (native little-endian), gray8 stays 8-bit; alpha is
+//     stripped (unused by every dataset here).
+
+struct PngReadCtx {
+  const uint8_t* data;
+  size_t len;
+  size_t pos;
+};
+
+static void mm_png_read_cb(png_structp p, png_bytep out, png_size_t n) {
+  PngReadCtx* c = static_cast<PngReadCtx*>(png_get_io_ptr(p));
+  if (c->pos + n > c->len) png_error(p, "unexpected eof");
+  memcpy(out, c->data + c->pos, n);
+  c->pos += n;
+}
+
+int mm_decode_png(const uint8_t* data, long len, int want_rgb, uint8_t* out,
+                  long cap_bytes, int* out_h, int* out_w, int* out_c,
+                  int* out_depth) {
+  png_structp p = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                         nullptr, nullptr);
+  if (!p) return -1;
+  png_infop info = png_create_info_struct(p);
+  if (!info) {
+    png_destroy_read_struct(&p, nullptr, nullptr);
+    return -1;
+  }
+  std::vector<png_bytep> rows;
+  if (setjmp(png_jmpbuf(p))) {
+    png_destroy_read_struct(&p, &info, nullptr);
+    return -2;
+  }
+  PngReadCtx ctx{data, static_cast<size_t>(len), 0};
+  png_set_read_fn(p, &ctx, mm_png_read_cb);
+  png_read_info(p, info);
+  const int ct = png_get_color_type(p, info);
+  const int bd = png_get_bit_depth(p, info);
+  if (want_rgb) {
+    if (ct == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(p);
+    if (ct == PNG_COLOR_TYPE_GRAY && bd < 8) png_set_expand_gray_1_2_4_to_8(p);
+    if (bd == 16) png_set_strip_16(p);
+    if (ct == PNG_COLOR_TYPE_GRAY || ct == PNG_COLOR_TYPE_GRAY_ALPHA)
+      png_set_gray_to_rgb(p);
+    png_set_strip_alpha(p);
+  } else {
+    if (ct == PNG_COLOR_TYPE_PALETTE) {
+      png_set_packing(p);  // 1/2/4-bit palette -> one index byte per pixel
+    } else if (bd < 8) {
+      png_set_expand_gray_1_2_4_to_8(p);
+    }
+    if (bd == 16) png_set_swap(p);  // PNG is big-endian; host is LE
+    png_set_strip_alpha(p);
+  }
+  png_set_interlace_handling(p);
+  png_read_update_info(p, info);
+  const size_t rowbytes = png_get_rowbytes(p, info);
+  const long h = png_get_image_height(p, info);
+  const long w = png_get_image_width(p, info);
+  if (static_cast<long>(rowbytes) * h > cap_bytes) {
+    png_destroy_read_struct(&p, &info, nullptr);
+    return -3;
+  }
+  rows.resize(h);
+  for (long y = 0; y < h; ++y) rows[y] = out + y * rowbytes;
+  png_read_image(p, rows.data());
+  *out_c = png_get_channels(p, info);
+  *out_depth = png_get_bit_depth(p, info);
+  *out_h = static_cast<int>(h);
+  *out_w = static_cast<int>(w);
+  png_destroy_read_struct(&p, &info, nullptr);
+  return 0;
+}
 
 struct mm_error_mgr {
   struct jpeg_error_mgr pub;

@@ -86,3 +86,65 @@ def test_crop_resize_u8_roundtrip():
 
 def test_bad_jpeg_returns_none():
     assert native.decode_jpeg(b"not a jpeg") is None
+
+
+def _png_bytes(img: "Image.Image") -> bytes:
+    import io
+
+    buf = io.BytesIO()
+    img.save(buf, "PNG")
+    return buf.getvalue()
+
+
+def test_decode_png_uint16_matches_pil():
+    rng = np.random.default_rng(3)
+    depth = rng.integers(0, 60000, (80, 96), dtype=np.uint16)
+    data = _png_bytes(Image.fromarray(depth))
+    arr = native.decode_png(data)
+    assert arr is not None and arr.dtype == np.uint16
+    np.testing.assert_array_equal(arr, np.asarray(Image.open(__import__("io").BytesIO(data))))
+    np.testing.assert_array_equal(arr, depth)
+
+
+def test_decode_png_palette_indices_match_pil():
+    rng = np.random.default_rng(4)
+    seg = rng.integers(0, 133, (64, 72), dtype=np.uint8)
+    data = _png_bytes(Image.fromarray(seg, "L").convert("P"))
+    arr = native.decode_png(data)
+    assert arr is not None and arr.dtype == np.uint8
+    ref = np.asarray(Image.open(__import__("io").BytesIO(data)).convert("P"))
+    np.testing.assert_array_equal(arr, ref)
+
+
+def test_decode_png_want_rgb():
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 255, (40, 50, 3), dtype=np.uint8)
+    data = _png_bytes(Image.fromarray(rgb, "RGB"))
+    arr = native.decode_png(data, want_rgb=True)
+    assert arr is not None and arr.shape == (40, 50, 3)
+    np.testing.assert_array_equal(arr, rgb)
+    # gray and 16-bit promote to RGB8
+    g16 = rng.integers(0, 60000, (20, 24), dtype=np.uint16)
+    arr = native.decode_png(_png_bytes(Image.fromarray(g16)), want_rgb=True)
+    assert arr is not None and arr.shape == (20, 24, 3) and arr.dtype == np.uint8
+
+
+def test_decode_png_bad_bytes_returns_none():
+    assert native.decode_png(b"not a png") is None
+
+
+def test_pil_loader_png_native_path(tmp_path):
+    from multimae_tpu.data.dataset_folder import pil_loader
+
+    rng = np.random.default_rng(6)
+    depth = rng.integers(0, 60000, (48, 56), dtype=np.uint16)
+    p = tmp_path / "d.png"
+    Image.fromarray(depth).save(p)
+    img = pil_loader(str(p), convert_rgb=False)
+    np.testing.assert_array_equal(np.asarray(img), depth)
+
+    seg = rng.integers(0, 133, (32, 40), dtype=np.uint8)
+    p2 = tmp_path / "s.png"
+    Image.fromarray(seg, "L").convert("P").save(p2)
+    img2 = pil_loader(str(p2), convert_rgb=False).convert("P")
+    np.testing.assert_array_equal(np.asarray(img2), seg)
