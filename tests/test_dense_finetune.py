@@ -155,3 +155,90 @@ def test_nyu_metrics_match_reference():
         float((diff / torch.clamp_min(tt, 1e-6))[mt].mean()), rel=1e-4)
     assert float(ours["delta_1"]) == pytest.approx(
         float((max_rel < 1.25).float().mean()), rel=1e-4)
+
+
+def test_dense_finetune_8dev_data_parallel_matches_single():
+    """The semseg fine-tune train step (make_dense_train_step + the CLI's
+    jit shardings) must produce identical loss/params under an 8-way data
+    mesh as on one device — the dense analogue of the pretrain dp test."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimae_tpu.cli.run_finetuning_semseg import seg_cross_entropy
+    from multimae_tpu.models import ConvNeXtAdapter, PatchedInputAdapter
+    from multimae_tpu.models.multimae import MultiViT
+    from multimae_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+    from multimae_tpu.train.finetune_step import make_dense_train_step
+    from multimae_tpu.train.optim_factory import create_optimizer
+    from multimae_tpu.train.schedules import as_optax_schedule, cosine_scheduler
+    from multimae_tpu.train.train_state import TrainState
+
+    assert jax.device_count() >= 8, "conftest must simulate 8 cpu devices"
+    s, b, ncls = 32, 8, 5
+    model = MultiViT(
+        input_adapters={
+            "rgb": functools.partial(
+                PatchedInputAdapter, num_channels=3, stride_level=1,
+                patch_size_full=16, image_size=s,
+            )
+        },
+        output_adapters={
+            "semseg": functools.partial(
+                ConvNeXtAdapter, num_classes=ncls, preds_per_patch=16,
+                depth=1, embed_dim=96, patch_size=16, main_tasks=("rgb",),
+            )
+        },
+        dim_tokens=64, depth=2, num_heads=4,
+    )
+    batch = {
+        "rgb": jax.random.normal(jax.random.PRNGKey(0), (b, s, s, 3)),
+        "target": jax.random.randint(
+            jax.random.PRNGKey(1), (b, s, s), 0, ncls, jnp.int32
+        ),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+        {"rgb": batch["rgb"]}, train=False,
+    )["params"]
+    lr = as_optax_schedule(
+        cosine_scheduler(1e-3, 0.0, epochs=2, niter_per_ep=2, warmup_epochs=1)
+    )
+    tx = create_optimizer(
+        params, opt="adamw", lr_schedule=lr, weight_decay=0.05,
+        opt_betas=(0.9, 0.999), filter_bias_and_bn=True,
+    )
+    step = make_dense_train_step(
+        model, "semseg", seg_cross_entropy, in_domains=("rgb",)
+    )
+
+    state = TrainState.create(params=jax.tree.map(jnp.copy, params), tx=tx)
+    state_ref, metrics_ref = jax.jit(step)(state, batch, jax.random.PRNGKey(4))
+
+    mesh = create_mesh()
+    state_dp = TrainState.create(params=jax.tree.map(jnp.copy, params), tx=tx)
+    state_dp = state_dp.replace(
+        params=replicate(state_dp.params, mesh),
+        opt_state=replicate(state_dp.opt_state, mesh),
+    )
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+    dp_step = jax.jit(step, in_shardings=(repl, data_sh, repl),
+                      out_shardings=(repl, repl))
+    state_dp2, metrics_dp = dp_step(
+        state_dp, shard_batch(batch, mesh), jax.random.PRNGKey(4)
+    )
+
+    np.testing.assert_allclose(
+        float(metrics_dp["loss"]), float(metrics_ref["loss"]), rtol=1e-4
+    )
+    for (pa, a), bb in zip(
+        jax.tree_util.tree_leaves_with_path(state_ref.params),
+        jax.tree.leaves(state_dp2.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), atol=2e-5,
+            err_msg=jax.tree_util.keystr(pa),
+        )
