@@ -1,0 +1,171 @@
+"""Fused ViT encoder block for INFERENCE (Pallas, TPU).
+
+Serving/eval forward only. Training keeps the XLA path: its backward
+GEMMs (M=dim, K=batch*tokens) run near-peak MXU from saved residuals,
+so a recompute-style kernel loses fwd+bwd (measured, CLAUDE.md) — but a
+forward pass alone is eltwise/HBM-bound between its GEMMs, and keeping
+one sample's whole block (LN1 -> attention -> +res -> LN2 -> MLP ->
++res) VMEM-resident measured 22.4 vs 27.1 ms per 12-block pass at
+(B=128, N=99, D=768) — ~17% over XLA fwd.
+
+Numerics mirror models/vit.py exactly: fp32 fast-variance LayerNorm
+(eps 1e-6), bf16 GEMMs with fp32 accumulation, fp32 attention softmax,
+exact-erf GELU (Eigen rational polynomial — Mosaic has no erf).
+Reference semantics: multimae/multimae_utils.py:217-232.
+
+Not differentiable (no VJP on purpose): the gate only engages on
+deterministic (eval) calls, where no cotangents flow.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multimae_tpu.ops.fused_decoder_pallas import (  # rank-2 math helpers
+    _attend_fwd_2d,
+    _dense,
+    _gelu_fwd,
+    _ln_fwd,
+)
+
+_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+_FORCE_MODE = None  # None | "interpret" (CPU tests)
+
+
+def set_force_mode(mode):
+    global _FORCE_MODE
+    assert mode in (None, "interpret")
+    _FORCE_MODE = mode
+
+
+def enabled() -> bool:
+    if _FORCE_MODE is not None:
+        return True
+    return (
+        os.environ.get("MULTIMAE_TPU_NO_FUSED_BLOCK") != "1"
+        and jax.default_backend() == "tpu"
+    )
+
+
+def _lane_pad(n):
+    return 128 * ((n + 127) // 128)
+
+
+def supported(n: int, d: int, hidden: int, dtype) -> bool:
+    """One sample per program: activations + one head's fp32 probs must
+    fit VMEM with generous headroom. Covers 99-2049-token shapes."""
+    if d % 128 or hidden % 128:
+        return False
+    item = jnp.dtype(dtype).itemsize
+    act = n * (d * 6 + hidden) * item * 3  # x, qkv, mlp hidden, copies
+    probs = n * _lane_pad(n) * 4 * 2
+    return act + probs <= 40 * 1024 * 1024
+
+
+class BlockWeights(NamedTuple):
+    """LayerNorm scale/bias fp32 (1, D); dense kernels flax (in, out)."""
+
+    n1_g: jnp.ndarray
+    n1_b: jnp.ndarray
+    wqkv: jnp.ndarray   # (D, 3D)
+    bqkv: jnp.ndarray   # (1, 3D)
+    wp: jnp.ndarray     # (D, D)
+    bp: jnp.ndarray
+    n2_g: jnp.ndarray
+    n2_b: jnp.ndarray
+    w1: jnp.ndarray     # (D, H)
+    b1: jnp.ndarray
+    w2: jnp.ndarray     # (H, D)
+    b2: jnp.ndarray
+
+
+_LN_IDX = frozenset({0, 1, 6, 7})
+
+
+def collect_block_weights(p) -> BlockWeights:
+    """From a Block param subtree (norm1/attn/norm2/mlp, models/vit.py)."""
+
+    def ln(name):
+        s = p[name]["ln"]
+        return s["scale"].reshape(1, -1), s["bias"].reshape(1, -1)
+
+    def dense(tree):
+        return tree["kernel"], tree["bias"].reshape(1, -1)
+
+    n1_g, n1_b = ln("norm1")
+    n2_g, n2_b = ln("norm2")
+    wqkv, bqkv = dense(p["attn"]["qkv"])
+    wp, bp = dense(p["attn"]["proj"])
+    w1, b1 = dense(p["mlp"]["fc1"])
+    w2, b2 = dense(p["mlp"]["fc2"])
+    return BlockWeights(n1_g, n1_b, wqkv, bqkv, wp, bp, n2_g, n2_b,
+                        w1, b1, w2, b2)
+
+
+def _cast(w: BlockWeights, dtype) -> BlockWeights:
+    return BlockWeights(*[
+        t if i in _LN_IDX else t.astype(dtype) for i, t in enumerate(w)
+    ])
+
+
+def _block_2d(x2d, w: BlockWeights, heads: int, dtype):
+    """One sample's block on a rank-2 (N, D) slab, all in VMEM."""
+    d = x2d.shape[1]
+    dh = d // heads
+    scale = dh ** -0.5
+    n1, _, _ = _ln_fwd(x2d, w.n1_g, w.n1_b, dtype)
+    qkv = _dense(n1, w.wqkv, w.bqkv)
+    outs = []
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        o, _ = _attend_fwd_2d(qkv[:, sl], qkv[:, d + h * dh: d + (h + 1) * dh],
+                              qkv[:, 2 * d + h * dh: 2 * d + (h + 1) * dh],
+                              scale, dtype)
+        outs.append(o)
+    a = jnp.concatenate(outs, axis=1)
+    x2 = x2d + _dense(a, w.wp, w.bp)
+    n2, _, _ = _ln_fwd(x2, w.n2_g, w.n2_b, dtype)
+    h_act = _gelu_fwd(_dense(n2, w.w1, w.b1), dtype)
+    return x2 + _dense(h_act, w.w2, w.b2)
+
+
+def _kernel(x_ref, *rest, heads, dtype):
+    w = BlockWeights(*(r[...] for r in rest[:-1]))
+    o_ref = rest[-1]
+    o_ref[0] = _block_2d(x_ref[0], w, heads, dtype)
+
+
+def _interpret() -> bool:
+    if _FORCE_MODE == "interpret":
+        return True
+    return jax.default_backend() != "tpu"
+
+
+def fused_block_infer(x, weights: BlockWeights, heads: int, dtype):
+    """x (B, N, D) -> (B, N, D): one pre-LN ViT block, inference only."""
+    b, n, d = x.shape
+    xc = x.astype(dtype)
+    wc = _cast(weights, dtype)
+    w_specs = [
+        pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim, memory_space=pltpu.VMEM)
+        for t in wc
+    ]
+    return pl.pallas_call(
+        functools.partial(_kernel, heads=heads, dtype=dtype),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] + w_specs,
+        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), dtype),
+        compiler_params=_PARAMS,
+        interpret=_interpret(),
+    )(xc, *wc)
