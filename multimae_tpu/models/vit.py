@@ -290,17 +290,28 @@ class Block(nn.Module):
             from multimae_tpu.ops import fused_block_pallas as fbp
 
             hidden = int(dim * self.mlp_ratio)
+            from multimae_tpu.parallel.mesh import (
+                constraint_data_size,
+                data_shard_map,
+            )
+
             if (
                 fbp.enabled()
                 and dim % self.num_heads == 0
                 and jnp.dtype(self.dtype)
                 in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32))
                 and fbp.supported(x.shape[1], dim, hidden, self.dtype)
+                and x.shape[0] % constraint_data_size() == 0
             ):
                 w = fbp.collect_block_weights(self.variables["params"])
-                return fbp.fused_block_infer(
-                    x, w, self.num_heads, self.dtype
-                ).astype(x.dtype)
+                heads, dtype = self.num_heads, self.dtype
+                # Under a data mesh the opaque kernel must be shard_mapped
+                # or GSPMD replicates it (see SCALING.md rule 3).
+                core = data_shard_map(
+                    lambda xx, ww: fbp.fused_block_infer(xx, ww, heads, dtype),
+                    n_data_args=1,
+                )
+                return core(x, w).astype(x.dtype)
 
         def maybe_drop_path(h):
             if self.drop_path_rate > 0.0 and not deterministic:

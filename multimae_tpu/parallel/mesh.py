@@ -89,23 +89,24 @@ def constraint_data_size() -> int:
     return int(_CONSTRAINT_MESH.shape.get(DATA_AXIS, 1))
 
 
-def data_shard_map(fn):
+def data_shard_map(fn, n_data_args: int = 2):
     """Run a per-sample-independent fn per-device over the data axis.
 
     GSPMD replicates opaque custom calls (Pallas kernels) instead of
     partitioning them, which would gather the whole global batch onto
-    every chip. shard_map pins batch-dim partitioning: operands split on
-    dim 0 over 'data', every other input replicated (FSDP-sharded params
-    all-gather, and their cotangents psum, exactly as GSPMD would).
-    Identity when no multi-device data mesh is registered (single chip,
-    eager, CPU tests)."""
+    every chip. shard_map pins batch-dim partitioning: the first
+    `n_data_args` operands split on dim 0 over 'data', the final
+    (weights) argument replicated (FSDP-sharded params all-gather, and
+    their cotangents psum, exactly as GSPMD would). Identity when no
+    multi-device data mesh is registered (single chip, eager, CPU
+    tests)."""
     if constraint_data_size() <= 1:
         return fn
     from jax import shard_map
 
     return shard_map(
         fn, mesh=_CONSTRAINT_MESH,
-        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+        in_specs=tuple(P(DATA_AXIS) for _ in range(n_data_args)) + (P(),),
         out_specs=P(DATA_AXIS),
         check_vma=False,
     )

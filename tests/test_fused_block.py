@@ -100,3 +100,39 @@ def test_supported_gate_bounds():
     assert not fbp.supported(2049, 768, 3072, jnp.bfloat16)
     # non-128-multiple dims fall back
     assert not fbp.supported(99, 192, 768, jnp.bfloat16)
+
+
+def test_eval_under_data_mesh_matches_unsharded():
+    """shard_map partitioning of the eval kernel under an 8-way data mesh
+    (SCALING.md rule 3): sharded vs unsharded outputs must match."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimae_tpu.parallel.mesh import create_mesh, use_constraint_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    model = build()
+    x = {"rgb": jax.random.normal(jax.random.PRNGKey(3), (16, 64, 64, 3))}
+    params = model.init({"params": jax.random.PRNGKey(4)}, x, train=False)[
+        "params"]
+
+    def fwd(p, xx):
+        return model.apply({"params": p}, xx, train=False)["cls"]
+
+    with force_interpret():
+        base = jax.jit(fwd)(params, x)
+        mesh = create_mesh(devices=jax.devices()[:8])
+        use_constraint_mesh(mesh)
+        try:
+            repl = NamedSharding(mesh, P())
+            data_sh = NamedSharding(mesh, P("data"))
+            sharded = jax.jit(
+                fwd,
+                in_shardings=(repl, {"rgb": data_sh}),
+                out_shardings=repl,
+            )(params, x)
+        finally:
+            use_constraint_mesh(None)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(base), rtol=1e-5, atol=1e-5
+    )
