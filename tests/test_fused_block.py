@@ -17,6 +17,18 @@ from multimae_tpu.models.registry import create_model
 from multimae_tpu.ops import fused_block_pallas as fbp
 
 
+@pytest.fixture(autouse=True)
+def _clear_constraint_mesh():
+    # Earlier tests (jit_data_parallel/jit_fsdp) register a global
+    # constraint mesh and never unregister it (CLI-lifetime semantics);
+    # the fused-block gate then requires batch % 8 == 0. Isolate.
+    from multimae_tpu.parallel.mesh import use_constraint_mesh
+
+    use_constraint_mesh(None)
+    yield
+    use_constraint_mesh(None)
+
+
 @contextlib.contextmanager
 def force_interpret():
     fbp.set_force_mode("interpret")
