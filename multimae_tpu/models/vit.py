@@ -55,10 +55,12 @@ xavier_uniform = nn.initializers.xavier_uniform()
 trunc_normal_02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
 # GELU variant switch (read at trace time). The reference uses the exact
-# erf GELU (torch nn.GELU default); the tanh approximation is ~16% faster
-# on the VPU (0.44 ms/layer fwd+bwd at B=128) and is the standard
-# approximation from the original BERT. Exact stays the default so golden
-# parity holds; training runs can opt in via --approx_gelu / set_approx_gelu.
+# erf GELU (torch nn.GELU default). bf16 tensors take the fast polynomial
+# path (ops/fast_gelu.py: exact to <=1 bf16 ulp, exhaustively verified —
+# XLA's erf rational lowering was ~25% of the 512px fine-tune step);
+# fp32 keeps jax.nn.gelu's erf so golden parity runs untouched. The tanh
+# approximation (--approx_gelu / set_approx_gelu) remains as an explicit
+# opt-in but no longer buys anything over the bf16 fast path.
 _APPROX_GELU = False
 
 
@@ -68,7 +70,13 @@ def set_approx_gelu(enabled: bool):
 
 
 def gelu(x):
-    return nn.gelu(x, approximate=_APPROX_GELU)
+    if _APPROX_GELU:
+        return nn.gelu(x, approximate=True)
+    if x.dtype == jnp.bfloat16:
+        from multimae_tpu.ops.fast_gelu import gelu_bf16_exact
+
+        return gelu_bf16_exact(x)
+    return nn.gelu(x, approximate=False)
 
 
 def drop_path(
