@@ -13,6 +13,13 @@ Numerics mirror models/vit.py exactly: fp32 fast-variance LayerNorm
 exact-erf GELU (Eigen rational polynomial — Mosaic has no erf).
 Reference semantics: multimae/multimae_utils.py:217-232.
 
+Two kernels behind one dispatch: the one-shot kernel holds a sample's
+whole working set in VMEM (covers ViT-B through 2049 tokens); shapes
+whose slabs + weights exceed VMEM (ViT-L@2049: 25 MB weights + 84 MB
+slabs) use the q-tiled kernel, which parks qkv in scratch and walks
+static (head, 512-query-tile) pairs so only a (512, N) fp32 probs strip
+and a (512, hidden) MLP strip are ever live.
+
 Not differentiable (no VJP on purpose): the gate only engages on
 deterministic (eval) calls, where no cotangents flow.
 """
@@ -59,18 +66,42 @@ def _lane_pad(n):
     return 128 * ((n + 127) // 128)
 
 
-def supported(n: int, d: int, hidden: int, dtype) -> bool:
-    """One sample per program: activations + ONE head's fp32 probs tile
-    (the per-head loop keeps a single (N, N) tile live) must fit the
-    100 MB VMEM budget. ViT-B@2049 (512px rgb+depth serving) measured
-    ~81 MB by this estimate and runs (+31% over the unfused eval);
-    ViT-L@2049 exceeds it and falls back to the module path."""
+_Q_TILE = 512
+
+
+def _weight_bytes(d: int, hidden: int, item: int) -> int:
+    return item * (3 * d * d + d * d + 2 * d * hidden) + 4 * d * 4  # + fp32 LN
+
+
+def _one_shot_fits(n: int, d: int, hidden: int, item: int) -> bool:
     if d % 128 or hidden % 128:
         return False
-    item = jnp.dtype(dtype).itemsize
     act = n * (d * 6 + hidden) * item * 2  # x/qkv/mlp slabs, double-buffered
     probs = n * _lane_pad(n) * 4
     return act + probs <= 85 * 1024 * 1024
+
+
+def _tiled_fits(n: int, d: int, hidden: int, item: int) -> bool:
+    if d % 128 or hidden % 128:
+        return False
+    # x/o double-buffered + qkv/attn scratch + ~3 transient (n, d) slabs,
+    # one (Q_TILE, n) fp32 probs tile and one (Q_TILE, hidden) MLP tile.
+    fixed = item * n * (2 * d + 2 * d + 3 * d + d + 3 * d)
+    tiles = _Q_TILE * (_lane_pad(n) * 4 + hidden * item)
+    return fixed + tiles + _weight_bytes(d, hidden, item) <= 85 * 1024 * 1024
+
+
+def supported(n: int, d: int, hidden: int, dtype) -> bool:
+    """One-shot kernel: one sample per program, activations + ONE head's
+    full (N, N) fp32 probs tile must fit the 100 MB VMEM budget —
+    ViT-B@2049 (512px rgb+depth serving) measured ~81 MB by this
+    estimate and runs (+31% over the unfused eval). Larger shapes
+    (ViT-L@2049: 25 MB of block weights + 84 MB of slabs) dispatch to
+    the q-tiled kernel, which parks qkv in scratch and walks
+    (head, 512-query-tile) pairs so only a (512, N) probs strip and a
+    (512, hidden) MLP strip are ever live."""
+    item = jnp.dtype(dtype).itemsize
+    return _one_shot_fits(n, d, hidden, item) or _tiled_fits(n, d, hidden, item)
 
 
 class BlockWeights(NamedTuple):
@@ -146,6 +177,42 @@ def _kernel(x_ref, *rest, heads, dtype):
     o_ref[0] = _block_2d(x_ref[0], w, heads, dtype)
 
 
+def _tiles(n: int):
+    sizes = [_Q_TILE] * (n // _Q_TILE)
+    if n % _Q_TILE:
+        sizes.append(n % _Q_TILE)
+    starts = [sum(sizes[:i]) for i in range(len(sizes))]
+    return list(zip(starts, sizes))
+
+
+def _kernel_tiled(x_ref, *rest, heads, dtype):
+    """Same block, but qkv lives in scratch and attention/MLP walk
+    static 512-query tiles so no (N, N) or (N, hidden) slab exists."""
+    w = BlockWeights(*(r[...] for r in rest[:-3]))
+    o_ref, qkv_s, attn_s = rest[-3], rest[-2], rest[-1]
+    x = x_ref[0]
+    n, d = x.shape
+    dh = d // heads
+    scale = dh ** -0.5
+
+    n1, _, _ = _ln_fwd(x, w.n1_g, w.n1_b, dtype)
+    qkv_s[...] = _dense(n1, w.wqkv, w.bqkv)
+    for h in range(heads):
+        k = qkv_s[:, d + h * dh: d + (h + 1) * dh]
+        v = qkv_s[:, 2 * d + h * dh: 2 * d + (h + 1) * dh]
+        for start, size in _tiles(n):
+            q = qkv_s[start:start + size, h * dh: (h + 1) * dh]
+            o, _ = _attend_fwd_2d(q, k, v, scale, dtype)
+            attn_s[start:start + size, h * dh: (h + 1) * dh] = o
+    x2 = x + _dense(attn_s[...], w.wp, w.bp)
+    for start, size in _tiles(n):
+        n2, _, _ = _ln_fwd(x2[start:start + size], w.n2_g, w.n2_b, dtype)
+        h_act = _gelu_fwd(_dense(n2, w.w1, w.b1), dtype)
+        o_ref[0, start:start + size, :] = (
+            x2[start:start + size] + _dense(h_act, w.w2, w.b2)
+        )
+
+
 def _interpret() -> bool:
     if _FORCE_MODE == "interpret":
         return True
@@ -153,22 +220,34 @@ def _interpret() -> bool:
 
 
 def fused_block_infer(x, weights: BlockWeights, heads: int, dtype):
-    """x (B, N, D) -> (B, N, D): one pre-LN ViT block, inference only."""
+    """x (B, N, D) -> (B, N, D): one pre-LN ViT block, inference only.
+
+    Dispatches to the one-shot kernel when a sample's full working set
+    fits VMEM, else to the q-tiled kernel (ViT-L@2049 and similar)."""
     b, n, d = x.shape
+    hidden = weights.w1.shape[1]
+    item = jnp.dtype(dtype).itemsize
     xc = x.astype(dtype)
     wc = _cast(weights, dtype)
     w_specs = [
         pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim, memory_space=pltpu.VMEM)
         for t in wc
     ]
+    one_shot = _one_shot_fits(n, d, hidden, item)
+    kernel = _kernel if one_shot else _kernel_tiled
+    scratch = [] if one_shot else [
+        pltpu.VMEM((n, 3 * d), dtype),  # qkv
+        pltpu.VMEM((n, d), dtype),      # attention output accumulator
+    ]
     return pl.pallas_call(
-        functools.partial(_kernel, heads=heads, dtype=dtype),
+        functools.partial(kernel, heads=heads, dtype=dtype),
         grid=(b,),
         in_specs=[pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)] + w_specs,
         out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, d), dtype),
+        scratch_shapes=scratch,
         compiler_params=_PARAMS,
         interpret=_interpret(),
     )(xc, *wc)

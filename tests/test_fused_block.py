@@ -108,13 +108,63 @@ def test_train_path_unaffected_and_differentiable(setup):
 def test_supported_gate_bounds():
     assert fbp.supported(99, 768, 3072, jnp.bfloat16)
     assert fbp.supported(197, 768, 3072, jnp.bfloat16)
-    # ViT-B at the 2049-token 512px rgb+depth serving shape fits
-    # (measured +31% over the unfused eval path on v5e)
-    assert fbp.supported(2049, 768, 3072, jnp.bfloat16)
-    # ViT-L at 2049 exceeds the VMEM budget -> module path
-    assert not fbp.supported(2049, 1024, 4096, jnp.bfloat16)
+    # ViT-B at the 2049-token 512px rgb+depth serving shape fits the
+    # one-shot kernel (measured +31% over the unfused eval path on v5e)
+    assert fbp._one_shot_fits(2049, 768, 3072, 2)
+    # ViT-L at 2049 exceeds the one-shot VMEM budget but the q-tiled
+    # kernel covers it
+    assert not fbp._one_shot_fits(2049, 1024, 4096, 2)
+    assert fbp._tiled_fits(2049, 1024, 4096, 2)
+    assert fbp.supported(2049, 1024, 4096, jnp.bfloat16)
     # non-128-multiple dims fall back
     assert not fbp.supported(99, 192, 768, jnp.bfloat16)
+
+
+def test_tiled_kernel_matches_one_shot(monkeypatch):
+    """The q-tiled kernel (ViT-L@2049 class shapes) must reproduce the
+    one-shot kernel at shapes both can run, up to f32 accumulation-order
+    noise from the different GEMM M-dims (~1e-5 abs on O(10) outputs).
+    Shrink the query tile so n=300 exercises uneven tiles (128, 128, 44)."""
+    d, heads, hidden, n, b = 128, 4, 512, 300, 2
+    keys = iter(jax.random.split(jax.random.PRNGKey(7), 20))
+
+    def rnd(*shape):
+        return jax.random.normal(next(keys), shape, jnp.float32) * 0.2
+
+    w = fbp.BlockWeights(
+        n1_g=rnd(1, d) + 1, n1_b=rnd(1, d),
+        wqkv=rnd(d, 3 * d), bqkv=rnd(1, 3 * d),
+        wp=rnd(d, d), bp=rnd(1, d),
+        n2_g=rnd(1, d) + 1, n2_b=rnd(1, d),
+        w1=rnd(d, hidden), b1=rnd(1, hidden),
+        w2=rnd(hidden, d), b2=rnd(1, d),
+    )
+    x = rnd(b, n, d)
+    with force_interpret():
+        base = fbp.fused_block_infer(x, w, heads, jnp.float32)
+        monkeypatch.setattr(fbp, "_Q_TILE", 128)
+        monkeypatch.setattr(fbp, "_one_shot_fits", lambda *a: False)
+        tiled = fbp.fused_block_infer(x, w, heads, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(tiled), np.asarray(base), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_tiled_kernel_matches_module_forward(monkeypatch):
+    """Full MultiViT eval forward with every block forced onto the
+    q-tiled kernel matches the plain module path."""
+    model, params, x = build(), None, None
+    xin = {"rgb": jax.random.normal(jax.random.PRNGKey(9), (2, 64, 64, 3))}
+    params = model.init({"params": jax.random.PRNGKey(8)}, xin, train=False)[
+        "params"]
+    base = model.apply({"params": params}, xin, train=False)["cls"]
+    monkeypatch.setattr(fbp, "_Q_TILE", 8)  # (17 tokens -> tiles 8, 8, 1)
+    monkeypatch.setattr(fbp, "_one_shot_fits", lambda *a: False)
+    with force_interpret():
+        fused = model.apply({"params": params}, xin, train=False)["cls"]
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(base), rtol=2e-5, atol=2e-5
+    )
 
 
 def test_eval_under_data_mesh_matches_unsharded():
