@@ -10,7 +10,8 @@ one sample's whole block (LN1 -> attention -> +res -> LN2 -> MLP ->
 
 Numerics mirror models/vit.py exactly: fp32 fast-variance LayerNorm
 (eps 1e-6), bf16 GEMMs with fp32 accumulation, fp32 attention softmax,
-exact-erf GELU (Eigen rational polynomial — Mosaic has no erf).
+exact-erf GELU (tanh-basis minimax poly, ops/fast_gelu.py — same as
+the module path's bf16 gelu; Mosaic has no erf).
 Reference semantics: multimae/multimae_utils.py:217-232.
 
 Two kernels behind one dispatch: the one-shot kernel holds a sample's

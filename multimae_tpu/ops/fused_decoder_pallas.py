@@ -218,48 +218,41 @@ def _dense_bwd(x, w, g):
     return dx, dw, db
 
 
-_INV_SQRT2 = 0.7071067811865476
-_INV_SQRT_2PI = 0.3989422804014327
+# Exact-erf GELU via the tanh-basis minimax fit (ops/fast_gelu.py):
+# erf(x/sqrt(2)) ~= tanh(x * p(x^2)), max err 2.9e-6, matching the
+# module path's bf16 gelu. Mosaic has no erf primitive but lowers tanh
+# to the VPU's fast path; this replaced the Eigen rational erf (division
+# + double Horner) here. _P_DERIV holds p'(t) for the hand-written VJP.
+from multimae_tpu.ops.fast_gelu import _P_COEFFS
 
-# Eigen/XLA f32 erf rational approximation (generic_fast_erf_float):
-# erf(x) ~= x * P(x^2) / Q(x^2) on the clamped range [-4, 4]. Mosaic has
-# no erf primitive, so the kernel evaluates this polynomial — identical
-# in spirit (and within ~1e-7) to what XLA's erf lowers to on TPU.
-_ERF_ALPHA = (
-    -2.72614225801306e-10, 2.77068142495902e-08, -2.10102402082508e-06,
-    -5.69250639462346e-05, -7.34990630326855e-04, -2.95459980854025e-03,
-    -1.60960333262415e-02,
-)
-_ERF_BETA = (
-    -1.45660718464996e-05, -2.13374055278905e-04, -1.68282697438203e-03,
-    -7.37332916720468e-03, -1.42647390514189e-02,
-)
+_P_DERIV = tuple((k + 1) * c for k, c in enumerate(_P_COEFFS[1:]))
 
 
-def _erf32(x):
-    x = jnp.clip(x, -4.0, 4.0)
-    x2 = x * x
-    p = jnp.float32(_ERF_ALPHA[0])
-    for a in _ERF_ALPHA[1:]:
-        p = p * x2 + a
-    p = p * x
-    q = jnp.float32(_ERF_BETA[0])
-    for b in _ERF_BETA[1:]:
-        q = q * x2 + b
-    return p / q
+def _gelu_poly(t):
+    p = jnp.float32(_P_COEFFS[-1])
+    for c in _P_COEFFS[-2::-1]:
+        p = p * t + jnp.float32(c)
+    return p
 
 
 def _gelu_fwd(x, dtype):
     xf = x.astype(jnp.float32)
-    y = 0.5 * xf * (1.0 + _erf32(xf * _INV_SQRT2))
+    y = 0.5 * xf * (1.0 + jnp.tanh(xf * _gelu_poly(xf * xf)))
     return y.astype(dtype)
 
 
 def _gelu_bwd(x, g):
     xf = x.astype(jnp.float32)
-    cdf = 0.5 * (1.0 + _erf32(xf * _INV_SQRT2))
-    pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * xf * xf)
-    return (g.astype(jnp.float32) * (cdf + xf * pdf)).astype(x.dtype)
+    t = xf * xf
+    u = jnp.tanh(xf * _gelu_poly(t))
+    du = jnp.float32(_P_DERIV[-1])
+    for c in _P_DERIV[-2::-1]:
+        du = du * t + jnp.float32(c)
+    # d/dx [0.5 x (1+tanh(x p))] = 0.5(1+u) + 0.5 x (1-u^2)(p + 2t p')
+    grad = 0.5 * (1.0 + u) + 0.5 * xf * (1.0 - u * u) * (
+        _gelu_poly(t) + 2.0 * t * du
+    )
+    return (g.astype(jnp.float32) * grad).astype(x.dtype)
 
 
 def _softmax_rows(s):

@@ -137,8 +137,12 @@ def test_grads_match_module_path(setup, mode):
     base = run_grads(model, params, batch, None)
     fused = run_grads(model, params, batch, mode)
     # Gradients flow through the fused region into every upstream param
-    # (encoder, input adapters) — compare the whole tree.
-    assert_trees_close(fused, base, rtol=5e-3, atol=5e-4)
+    # (encoder, input adapters) — compare the whole tree. atol: the
+    # kernel's tanh-basis gelu differs from the f32 module path's exact
+    # erf by ~2e-5 in gelu'; dW = x^T g sums that coherently over the
+    # token axis, giving up to ~1.5e-3 absolute on a handful of
+    # small-magnitude weight-grad elements.
+    assert_trees_close(fused, base, rtol=5e-3, atol=2e-3)
 
 
 def test_bf16_forward_close(setup):

@@ -26,7 +26,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_cls(batch, steps=20):
+def bench_cls(batch, steps=20, arch="multivit_base"):
     import jax
     import jax.numpy as jnp
 
@@ -34,7 +34,7 @@ def bench_cls(batch, steps=20):
     from multimae_tpu.models.registry import create_model
 
     model = create_model(
-        "multivit_base",
+        arch,
         input_adapters={
             "rgb": functools.partial(
                 PatchedInputAdapter, num_channels=3, stride_level=1,
@@ -72,7 +72,7 @@ def bench_cls(batch, steps=20):
     return batch * steps / dt
 
 
-def bench_semseg(batch, steps=10):
+def bench_semseg(batch, steps=10, arch="multivit_base"):
     import jax
     import jax.numpy as jnp
 
@@ -80,7 +80,7 @@ def bench_semseg(batch, steps=10):
     from multimae_tpu.models.registry import create_model
 
     model = create_model(
-        "multivit_base",
+        arch,
         input_adapters={
             t: functools.partial(
                 PatchedInputAdapter, num_channels=c, stride_level=1,
@@ -127,6 +127,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch_cls", type=int, default=256)
     ap.add_argument("--batch_seg", type=int, default=32)
+    ap.add_argument("--large", action="store_true",
+                    help="also measure ViT-L (cls@224 + semseg@512; the "
+                         "latter exercises the q-tiled fused block kernel)")
     args = ap.parse_args()
 
     from multimae_tpu.utils.jax_setup import setup_jax
@@ -138,6 +141,13 @@ def main():
     r = bench_semseg(args.batch_seg)
     print(json.dumps({"metric": "infer_semseg512_rgbd", "value": round(r, 1),
                       "unit": "images/sec/chip"}))
+    if args.large:
+        r = bench_cls(args.batch_cls, arch="multivit_large")
+        print(json.dumps({"metric": "infer_cls224_vitl", "value": round(r, 1),
+                          "unit": "images/sec/chip"}))
+        r = bench_semseg(max(args.batch_seg // 2, 1), arch="multivit_large")
+        print(json.dumps({"metric": "infer_semseg512_rgbd_vitl",
+                          "value": round(r, 1), "unit": "images/sec/chip"}))
 
 
 if __name__ == "__main__":
