@@ -43,21 +43,43 @@ class ConvNeXtBlock(nn.Module):
             name="dwconv",
         )(x)
         x = LayerNorm(dtype=self.dtype, name="norm")(x)
-        x = nn.Dense(
-            4 * self.dim,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=trunc_normal_02,
-            name="pwconv1",
-        )(x)
-        x = gelu(x)
-        x = nn.Dense(
-            self.dim,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=trunc_normal_02,
-            name="pwconv2",
-        )(x)
+
+        from multimae_tpu.ops import fused_mlp_pallas as fmp
+
+        rows = 1
+        for s in x.shape[:-1]:
+            rows *= s
+        if (
+            not self.is_initializing()
+            and fmp.enabled()
+            and fmp.supported(rows, self.dim, 4 * self.dim, self.dtype)
+        ):
+            # Dense->gelu->Dense as one row-tiled Pallas pass: at 512px
+            # the (B,128,128,1536) intermediate is ~805MB of HBM traffic
+            # each way that the fused kernel never materializes.
+            p = self.variables["params"]
+            y2d = fmp.fused_mlp(
+                x.reshape(rows, self.dim),
+                p["pwconv1"]["kernel"], p["pwconv1"]["bias"],
+                p["pwconv2"]["kernel"], p["pwconv2"]["bias"],
+            )
+            x = y2d.reshape(x.shape)
+        else:
+            x = nn.Dense(
+                4 * self.dim,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=trunc_normal_02,
+                name="pwconv1",
+            )(x)
+            x = gelu(x)
+            x = nn.Dense(
+                self.dim,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=trunc_normal_02,
+                name="pwconv2",
+            )(x)
         if self.layer_scale_init_value > 0:
             gamma = self.param(
                 "gamma",
