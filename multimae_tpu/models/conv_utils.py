@@ -45,25 +45,36 @@ class ConvNeXtBlock(nn.Module):
         x = LayerNorm(dtype=self.dtype, name="norm")(x)
 
         from multimae_tpu.ops import fused_mlp_pallas as fmp
+        from multimae_tpu.parallel.mesh import (
+            constraint_data_size,
+            data_shard_map,
+        )
 
         rows = 1
         for s in x.shape[:-1]:
             rows *= s
+        n_data = constraint_data_size()
         if (
             not self.is_initializing()
             and fmp.enabled()
-            and fmp.supported(rows, self.dim, 4 * self.dim, self.dtype)
+            and x.shape[0] % n_data == 0
+            and fmp.supported(rows // n_data, self.dim, 4 * self.dim,
+                              self.dtype)
         ):
             # Dense->gelu->Dense as one row-tiled Pallas pass: at 512px
             # the (B,128,128,1536) intermediate is ~805MB of HBM traffic
-            # each way that the fused kernel never materializes.
+            # each way that the fused kernel never materializes. Under a
+            # data mesh the opaque kernel must be shard_mapped or GSPMD
+            # replicates it (SCALING.md rule 3).
             p = self.variables["params"]
-            y2d = fmp.fused_mlp(
-                x.reshape(rows, self.dim),
-                p["pwconv1"]["kernel"], p["pwconv1"]["bias"],
-                p["pwconv2"]["kernel"], p["pwconv2"]["bias"],
+            dim = self.dim
+            core = data_shard_map(
+                lambda x4d, w: fmp.fused_mlp(
+                    x4d.reshape(-1, dim), *w).reshape(x4d.shape),
+                n_data_args=1,
             )
-            x = y2d.reshape(x.shape)
+            x = core(x, (p["pwconv1"]["kernel"], p["pwconv1"]["bias"],
+                         p["pwconv2"]["kernel"], p["pwconv2"]["bias"]))
         else:
             x = nn.Dense(
                 4 * self.dim,

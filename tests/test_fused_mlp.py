@@ -120,6 +120,49 @@ def test_convnext_block_fused_matches_module(monkeypatch):
         )
 
 
+def test_convnext_block_fused_under_data_mesh(monkeypatch):
+    """Sharded (8-way data mesh, shard_map-wrapped kernel) vs unsharded
+    ConvNeXtBlock: values and grads must match (SCALING.md rule 3 — an
+    unwrapped opaque kernel would be replicated by GSPMD)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimae_tpu.models.conv_utils import ConvNeXtBlock
+    from multimae_tpu.parallel.mesh import create_mesh, use_constraint_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    blk = ConvNeXtBlock(dim=128, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(5), (8, 4, 4, 128))
+    params = blk.init({"params": jax.random.PRNGKey(6)}, x)["params"]
+
+    def loss(p, xx):
+        return jnp.sum(blk.apply({"params": p}, xx).astype(jnp.float32) ** 2)
+
+    monkeypatch.setattr(fmp, "supported", lambda *a: True)
+    with force_interpret(row_tile=8):
+        base_l, base_g = jax.jit(jax.value_and_grad(loss))(params, x)
+        mesh = create_mesh(devices=jax.devices()[:8])
+        use_constraint_mesh(mesh)
+        try:
+            repl = NamedSharding(mesh, P())
+            data_sh = NamedSharding(mesh, P("data"))
+            sh_l, sh_g = jax.jit(
+                jax.value_and_grad(loss),
+                in_shardings=(repl, data_sh), out_shardings=(repl, repl),
+            )(params, x)
+        finally:
+            use_constraint_mesh(None)
+    np.testing.assert_allclose(float(sh_l), float(base_l), rtol=1e-5)
+    for (ka, a), (kb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(sh_g), key=lambda e: str(e[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(base_g), key=lambda e: str(e[0])),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-4,
+            err_msg=str(ka),
+        )
+
+
 def test_supported_gate():
     # the 512px ConvNeXt regime (B=16): 262144 rows, 384 -> 1536
     assert fmp.supported(262144, 384, 1536, jnp.bfloat16)
