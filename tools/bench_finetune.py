@@ -55,6 +55,32 @@ def build(args, dtype):
     )
 
 
+def build_depth(args, dtype):
+    """NYUv2 depth recipe shape: rgb@256 -> DPT regression head
+    (reference run_finetuning_depth.py:405-450 + cfgs/finetune/depth)."""
+    import functools
+
+    from multimae_tpu.models import DPTOutputAdapter, PatchedInputAdapter
+    from multimae_tpu.models.registry import create_model
+
+    input_adapters = {
+        "rgb": functools.partial(
+            PatchedInputAdapter, num_channels=3, stride_level=1,
+            patch_size_full=16, image_size=args.input_size,
+        ),
+    }
+    output_adapters = {
+        "depth": functools.partial(
+            DPTOutputAdapter, head_type="regression", stride_level=1,
+            num_classes=1, patch_size=16, main_tasks=("rgb",),
+        )
+    }
+    return create_model(
+        "multivit_base", input_adapters=input_adapters,
+        output_adapters=output_adapters, drop_path_rate=0.1, dtype=dtype,
+    )
+
+
 def measure(args, label):
     import jax
     import jax.numpy as jnp
@@ -71,15 +97,30 @@ def measure(args, label):
     b = args.batch * n_chips
     s = args.input_size
 
-    model = build(args, jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    batch = {
-        "rgb": jax.random.normal(rng, (b, s, s, 3), jnp.float32),
-        "depth": jax.random.normal(rng, (b, s, s, 1), jnp.float32),
-        "target": jax.random.randint(
-            jax.random.PRNGKey(1), (b, s, s), 0, args.num_classes, jnp.int32
-        ),
-    }
+    if args.task == "depth":
+        from multimae_tpu.train.regression_losses import masked_berhu_loss
+
+        model = build_depth(args, jnp.bfloat16)
+        batch = {
+            "rgb": jax.random.normal(rng, (b, s, s, 3), jnp.float32),
+            "target": jax.random.normal(rng, (b, s, s, 1), jnp.float32),
+        }
+        task, loss_fn, in_domains = (
+            "depth",
+            lambda p, t, **kw: masked_berhu_loss(p, t),
+            ("rgb",),
+        )
+    else:
+        model = build(args, jnp.bfloat16)
+        batch = {
+            "rgb": jax.random.normal(rng, (b, s, s, 3), jnp.float32),
+            "depth": jax.random.normal(rng, (b, s, s, 1), jnp.float32),
+            "target": jax.random.randint(
+                jax.random.PRNGKey(1), (b, s, s), 0, args.num_classes, jnp.int32
+            ),
+        }
+        task, loss_fn, in_domains = "semseg", seg_cross_entropy, ("rgb", "depth")
     params = jax.jit(
         lambda: model.init(
             {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
@@ -99,9 +140,7 @@ def measure(args, label):
         params=replicate(state.params, mesh),
         opt_state=replicate(state.opt_state, mesh),
     )
-    step = make_dense_train_step(
-        model, "semseg", seg_cross_entropy, in_domains=("rgb", "depth"),
-    )
+    step = make_dense_train_step(model, task, loss_fn, in_domains=in_domains)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
@@ -121,7 +160,7 @@ def measure(args, label):
     dt = time.perf_counter() - t0
     per_chip = b * args.steps / dt / n_chips
     print(json.dumps({
-        "metric": f"finetune_semseg_{s}px_throughput_{label}",
+        "metric": f"finetune_{args.task}_{s}px_throughput_{label}",
         "value": round(per_chip, 2),
         "unit": "samples/sec/chip",
     }))
@@ -130,11 +169,19 @@ def measure(args, label):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=16, help="per-chip batch")
-    ap.add_argument("--input_size", type=int, default=512)
+    ap.add_argument("--task", choices=("semseg", "depth"), default="semseg",
+                    help="semseg: rgb+depth@512 ConvNeXt head (ADE/NYU "
+                         "recipe); depth: rgb@256 DPT regression head "
+                         "(NYUv2 depth recipe)")
+    ap.add_argument("--batch", type=int, default=None, help="per-chip batch")
+    ap.add_argument("--input_size", type=int, default=None)
     ap.add_argument("--num_classes", type=int, default=150)
     ap.add_argument("--steps", type=int, default=10)
     args = ap.parse_args()
+    if args.input_size is None:
+        args.input_size = 512 if args.task == "semseg" else 256
+    if args.batch is None:
+        args.batch = 16 if args.task == "semseg" else 32
 
     from multimae_tpu.utils.jax_setup import setup_jax
 
@@ -149,7 +196,7 @@ def main():
     attn.SHORT_KERNEL_MIN_KV = 10**9
     dense = measure(args, "xla_dense")
     print(json.dumps({
-        "metric": f"finetune_semseg_{args.input_size}px_pallas_speedup",
+        "metric": f"finetune_{args.task}_{args.input_size}px_pallas_speedup",
         "value": round(pallas / dense, 4),
         "unit": "x",
     }))
