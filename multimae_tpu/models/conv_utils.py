@@ -42,8 +42,6 @@ class ConvNeXtBlock(nn.Module):
             param_dtype=jnp.float32,
             name="dwconv",
         )(x)
-        x = LayerNorm(dtype=self.dtype, name="norm")(x)
-
         from multimae_tpu.ops import fused_mlp_pallas as fmp
         from multimae_tpu.parallel.mesh import (
             constraint_data_size,
@@ -56,41 +54,48 @@ class ConvNeXtBlock(nn.Module):
         n_data = constraint_data_size()
         if (
             not self.is_initializing()
+            and self.layer_scale_init_value == 0
             and fmp.enabled()
             and x.shape[0] % n_data == 0
             and fmp.supported(rows // n_data, self.dim, 4 * self.dim,
                               self.dtype)
         ):
-            # Dense->gelu->Dense as one row-tiled Pallas pass: at 512px
-            # the (B,128,128,1536) intermediate is ~805MB of HBM traffic
-            # each way that the fused kernel never materializes. Under a
-            # data mesh the opaque kernel must be shard_mapped or GSPMD
-            # replicates it (SCALING.md rule 3).
+            # LN -> Dense -> gelu -> Dense -> +residual as one row-tiled
+            # Pallas pass: at 512px the (B,128,128,1536) intermediate is
+            # ~805MB of HBM traffic each way that the fused kernel never
+            # materializes, and the LN/residual passes fold into the
+            # same tiles. Under a data mesh the opaque kernel must be
+            # shard_mapped or GSPMD replicates it (SCALING.md rule 3).
             p = self.variables["params"]
             dim = self.dim
             core = data_shard_map(
-                lambda x4d, w: fmp.fused_mlp(
-                    x4d.reshape(-1, dim), *w).reshape(x4d.shape),
-                n_data_args=1,
+                lambda x4d, r4d, w: fmp.fused_ln_mlp_res(
+                    x4d.reshape(-1, dim),
+                    r4d.astype(x4d.dtype).reshape(-1, dim),
+                    *w).reshape(x4d.shape),
+                n_data_args=2,
             )
-            x = core(x, (p["pwconv1"]["kernel"], p["pwconv1"]["bias"],
+            return core(x, residual,
+                        (p["norm"]["ln"]["scale"], p["norm"]["ln"]["bias"],
+                         p["pwconv1"]["kernel"], p["pwconv1"]["bias"],
                          p["pwconv2"]["kernel"], p["pwconv2"]["bias"]))
-        else:
-            x = nn.Dense(
-                4 * self.dim,
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                kernel_init=trunc_normal_02,
-                name="pwconv1",
-            )(x)
-            x = gelu(x)
-            x = nn.Dense(
-                self.dim,
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                kernel_init=trunc_normal_02,
-                name="pwconv2",
-            )(x)
+
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(
+            4 * self.dim,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_02,
+            name="pwconv1",
+        )(x)
+        x = gelu(x)
+        x = nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_02,
+            name="pwconv2",
+        )(x)
         if self.layer_scale_init_value > 0:
             gamma = self.param(
                 "gamma",

@@ -34,6 +34,8 @@ from multimae_tpu.ops.fused_decoder_pallas import (
     _dense,
     _gelu_bwd,
     _gelu_fwd,
+    _ln_bwd,
+    _ln_fwd,
 )
 
 _PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -208,3 +210,139 @@ def _bwd(res, dy):
 
 
 fused_mlp.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Whole ConvNeXt-block tail: LayerNorm -> MLP -> + residual, one pass.
+# Folds the block's LN prologue and residual epilogue into the same row
+# tiles, removing two more full-tensor HBM round trips per block (the
+# gamma layer-scale is disabled in the reference's isotropic adapter —
+# output_adapter_utils.py:28 — so the epilogue is a plain add).
+# ---------------------------------------------------------------------------
+
+
+def _lmr_fwd_kernel(x_ref, r_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
+                    b2_ref, y_ref):
+    n1, _, _ = _ln_fwd(x_ref[...], g_ref[...], b_ref[...], x_ref.dtype)
+    h = _gelu_fwd(_dense(n1, w1_ref[...], b1_ref[...]), x_ref.dtype)
+    y_ref[...] = r_ref[...] + _dense(h, w2_ref[...], b2_ref[...])
+
+
+def _lmr_bwd_kernel(x_ref, dy_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
+                    dx_ref, dg_ref, db_ref, dw1_ref, db1_ref, dw2_ref,
+                    db2_ref):
+    i = pl.program_id(0)
+    x = x_ref[...]
+    dy = dy_ref[...]
+    g = g_ref[...]
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    n1, xhat, inv = _ln_fwd(x, g, b_ref[...], x.dtype)
+    pre = _dense(n1, w1, b1_ref[...])
+    h = _gelu_fwd(pre, x.dtype)
+
+    dw2 = jax.lax.dot_general(
+        h, dy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db2 = jnp.sum(dy.astype(jnp.float32), axis=0, keepdims=True)
+    dh = jax.lax.dot_general(
+        dy, w2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    dpre = _gelu_bwd(pre, dh)
+    dw1 = jax.lax.dot_general(
+        n1, dpre, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db1 = jnp.sum(dpre.astype(jnp.float32), axis=0, keepdims=True)
+    dn1 = jax.lax.dot_general(
+        dpre, w1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    dx, dg, db = _ln_bwd(dn1, xhat, inv, g)
+    dx_ref[...] = dx.astype(x.dtype)
+
+    @pl.when(i == 0)
+    def _init():
+        dg_ref[...] = dg
+        db_ref[...] = db
+        dw1_ref[...] = dw1
+        db1_ref[...] = db1
+        dw2_ref[...] = dw2
+        db2_ref[...] = db2
+
+    @pl.when(i != 0)
+    def _acc():
+        dg_ref[...] += dg
+        db_ref[...] += db
+        dw1_ref[...] += dw1
+        db1_ref[...] += db1
+        dw2_ref[...] += dw2
+        db2_ref[...] += db2
+
+
+@jax.custom_vjp
+def fused_ln_mlp_res(x, res, ln_g, ln_b, w1, b1, w2, b2):
+    """res + Dense(gelu(Dense(LN(x)))): the ConvNeXt block after its
+    depthwise conv, as one row-tiled pass. LN params fp32 (1-d)."""
+    return _lmr_fwd(x, res, ln_g, ln_b, w1, b1, w2, b2)[0]
+
+
+def _lmr_fwd(x, res, ln_g, ln_b, w1, b1, w2, b2):
+    m, k = x.shape
+    w1c, b1c, w2c, b2c = _cast_w(x, w1, b1, w2, b2)
+    g2 = ln_g.reshape(1, -1).astype(jnp.float32)
+    bb2 = ln_b.reshape(1, -1).astype(jnp.float32)
+    m_pad = _ROW_TILE * ((m + _ROW_TILE - 1) // _ROW_TILE)
+    y = pl.pallas_call(
+        _lmr_fwd_kernel,
+        grid=(m_pad // _ROW_TILE,),
+        in_specs=[_row_spec(k), _row_spec(k), _w_spec(g2), _w_spec(bb2),
+                  _w_spec(w1c), _w_spec(b1c), _w_spec(w2c), _w_spec(b2c)],
+        out_specs=_row_spec(k),
+        out_shape=jax.ShapeDtypeStruct((m_pad, k), x.dtype),
+        compiler_params=_PARAMS,
+        interpret=_interpret(),
+    )(_pad_rows(x, m_pad), _pad_rows(res, m_pad), g2, bb2, w1c, b1c, w2c, b2c)
+    return y[:m], (x, ln_g, ln_b, w1, b1, w2, b2)
+
+
+def _lmr_bwd(resids, dy):
+    x, ln_g, ln_b, w1, b1, w2, b2 = resids
+    m, k = x.shape
+    h = w1.shape[1]
+    w1c, b1c, w2c, _ = _cast_w(x, w1, b1, w2, b2)
+    g2 = ln_g.reshape(1, -1).astype(jnp.float32)
+    bb2 = ln_b.reshape(1, -1).astype(jnp.float32)
+    m_pad = _ROW_TILE * ((m + _ROW_TILE - 1) // _ROW_TILE)
+    dyc = dy.astype(x.dtype)
+    dx, dg, db, dw1, db1, dw2, db2 = pl.pallas_call(
+        _lmr_bwd_kernel,
+        grid=(m_pad // _ROW_TILE,),
+        in_specs=[_row_spec(k), _row_spec(k), _w_spec(g2), _w_spec(bb2),
+                  _w_spec(w1c), _w_spec(b1c), _w_spec(w2c)],
+        out_specs=[
+            _row_spec(k),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m_pad, k), x.dtype),
+            jax.ShapeDtypeStruct((1, k), jnp.float32),
+            jax.ShapeDtypeStruct((1, k), jnp.float32),
+            jax.ShapeDtypeStruct((k, h), jnp.float32),
+            jax.ShapeDtypeStruct((1, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, k), jnp.float32),
+            jax.ShapeDtypeStruct((1, k), jnp.float32),
+        ],
+        compiler_params=_PARAMS,
+        interpret=_interpret(),
+    )(_pad_rows(x, m_pad), _pad_rows(dyc, m_pad), g2, bb2, w1c, b1c, w2c)
+    return (dx[:m], dy, dg.reshape(ln_g.shape).astype(ln_g.dtype),
+            db.reshape(ln_b.shape).astype(ln_b.dtype),
+            dw1.astype(w1.dtype), db1.reshape(b1.shape).astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.reshape(b2.shape).astype(b2.dtype))
+
+
+fused_ln_mlp_res.defvjp(_lmr_fwd, _lmr_bwd)

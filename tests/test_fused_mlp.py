@@ -90,6 +90,50 @@ def test_bf16_matches_module_gelu():
     )
 
 
+def ref_ln_mlp_res(x, res, g, b, w1, b1, w2, b2):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = (xf * xf).mean(-1, keepdims=True) - mu * mu
+    n1 = (((xf - mu) * jax.lax.rsqrt(var + 1e-6)) * g.reshape(1, -1)
+          + b.reshape(1, -1)).astype(x.dtype)
+    return res + ref_mlp(n1, w1, b1, w2, b2)
+
+
+@pytest.mark.parametrize("m", [256, 300])
+def test_ln_mlp_res_forward_and_grads_match(m):
+    k, hid = 128, 256
+    x, w1, b1, w2, b2 = make(m, k, hid)
+    ks = iter(jax.random.split(jax.random.PRNGKey(11), 4))
+    res = jax.random.normal(next(ks), (m, k), jnp.float32)
+    g = jax.random.normal(next(ks), (k,), jnp.float32) * 0.1 + 1.0
+    bb = jax.random.normal(next(ks), (k,), jnp.float32) * 0.1
+    args = (x, res, g, bb, w1, b1, w2, b2)
+    nargs = tuple(range(len(args)))
+
+    def loss_fused(*a):
+        return jnp.sum(fmp.fused_ln_mlp_res(*a).astype(jnp.float32) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(ref_ln_mlp_res(*a).astype(jnp.float32) ** 2)
+
+    with force_interpret(row_tile=128):
+        out = fmp.fused_ln_mlp_res(*args)
+        grads = jax.grad(loss_fused, argnums=nargs)(*args)
+    base = ref_ln_mlp_res(*args)
+    grads_ref = jax.grad(loss_ref, argnums=nargs)(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=2e-5, atol=2e-5)
+    for gg, gr, name in zip(grads, grads_ref,
+                            "x res ln_g ln_b w1 b1 w2 b2".split()):
+        # grads here are O(1e3) (sum-of-squares loss over LN'd rows);
+        # atol scales with that — violations are pure f32 noise.
+        np.testing.assert_allclose(
+            np.asarray(gg), np.asarray(gr), rtol=2e-4, atol=5e-3,
+            err_msg=f"grad {name}",
+        )
+        assert gg.dtype == gr.dtype, name
+
+
 def test_convnext_block_fused_matches_module(monkeypatch):
     """ConvNeXtBlock with the fused-MLP gate forced on matches the plain
     module path, forward and gradients."""
