@@ -110,6 +110,139 @@ def _ref_model():
 
 
 @requires_reference
+def test_50_step_cls_finetune_trajectory_tracks_reference():
+    """Layer-decay fine-tune trajectory: pins per-group lr_scale semantics.
+
+    Mirrors run_finetuning_cls.py:506-508 (per-step lr = schedule *
+    group lr_scale) and utils/optim_factory.py:50-101 (grouping) over 50
+    AdamW steps on an identical tiny MultiViT + label-smoothing CE.
+    """
+    import torch
+
+    from multimae_tpu.models import (
+        LinearOutputAdapter,
+        MultiViT,
+        PatchedInputAdapter,
+    )
+    from multimae_tpu.train.cross_entropy import label_smoothing_cross_entropy
+    from multimae_tpu.train.finetune_step import make_cls_train_step
+    from multimae_tpu.train.optim_factory import (
+        LayerDecayValueAssigner,
+        create_optimizer,
+    )
+    from multimae_tpu.train.schedules import as_optax_schedule, cosine_scheduler
+    from multimae_tpu.train.train_state import TrainState
+    from multimae_tpu.utils.torch_compat import state_dict_to_params
+
+    from multimae.input_adapters import PatchedInputAdapter as RefPatched
+    from multimae.multimae import MultiViT as RefMultiViT
+    from multimae.output_adapters import LinearOutputAdapter as RefLinear
+    from utils.optim_factory import get_parameter_groups as ref_param_groups
+
+    NCLS, DEPTH, LD = 5, 2, 0.75
+    rng_np = np.random.default_rng(11)
+    data = [rng_np.standard_normal((2, IMG, IMG, 3)).astype(np.float32)
+            for _ in range(STEPS)]
+    labels = [rng_np.integers(0, NCLS, size=(2,)) for _ in range(STEPS)]
+
+    base_lr, min_lr, wd = 1e-3, 1e-5, 0.05
+    betas, eps = (0.9, 0.999), 1e-8
+    lr_values = cosine_scheduler(
+        base_lr, min_lr, epochs=1, niter_per_ep=STEPS, warmup_steps=5
+    )
+    ld_values = [LD ** (DEPTH + 1 - i) for i in range(DEPTH + 2)]
+
+    # ---- reference model (source of the shared initial weights) ----
+    torch.manual_seed(2)
+    ref = RefMultiViT(
+        input_adapters={
+            "rgb": RefPatched(num_channels=3, stride_level=1,
+                              patch_size_full=PATCH, image_size=IMG)
+        },
+        output_adapters={"cls": RefLinear(num_classes=NCLS)},
+        dim_tokens=64, depth=DEPTH, num_heads=4,
+    )
+
+    # ---- ours ----
+    ours = MultiViT(
+        input_adapters={
+            "rgb": functools.partial(
+                PatchedInputAdapter, num_channels=3, stride_level=1,
+                patch_size_full=PATCH, image_size=IMG,
+            )
+        },
+        output_adapters={
+            "cls": functools.partial(LinearOutputAdapter, num_classes=NCLS)
+        },
+        dim_tokens=64, depth=DEPTH, num_heads=4,
+    )
+    x0 = {"rgb": jnp.asarray(data[0])}
+    template = jax.eval_shape(
+        lambda: ours.init({"params": jax.random.PRNGKey(0)}, x0)
+    )["params"]
+    template = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), template)
+    params, report = state_dict_to_params(
+        {k: v.numpy() for k, v in ref.state_dict().items()}, template
+    )
+    assert not report["missing"] and not report["unexpected"], report
+
+    tx = create_optimizer(
+        params, opt="adamw", lr_schedule=as_optax_schedule(lr_values),
+        weight_decay=wd, opt_betas=betas, opt_eps=eps,
+        layer_decay_assigner=LayerDecayValueAssigner(ld_values),
+        filter_bias_and_bn=True,
+    )
+    state = TrainState.create(params=params, tx=tx)
+    jit_step = jax.jit(
+        make_cls_train_step(ours, label_smoothing_cross_entropy)
+    )
+    key = jax.random.PRNGKey(5)
+    ours_losses = []
+    for i in range(STEPS):
+        batch = {"rgb": jnp.asarray(data[i]),
+                 "target": jnp.asarray(labels[i], jnp.int32)}
+        state, metrics = jit_step(state, batch, key)
+        ours_losses.append(float(metrics["loss"]))
+
+    # ---- reference training loop ----
+    assigner_values = ld_values
+
+    def get_num_layer(name):
+        from utils.optim_factory import get_num_layer_for_vit
+        return get_num_layer_for_vit(name, len(assigner_values))
+
+    def get_layer_scale(layer_id):
+        return assigner_values[layer_id]
+
+    skip = ref.no_weight_decay() if hasattr(ref, "no_weight_decay") else set()
+    groups = ref_param_groups(ref, wd, skip, get_num_layer, get_layer_scale)
+    opt = torch.optim.AdamW(groups, lr=base_lr, betas=betas, eps=eps)
+    ref.train()
+
+    def ref_ls_ce(logits, target, smoothing=0.1):
+        logp = torch.log_softmax(logits.float(), dim=-1)
+        nll = -logp.gather(1, target.unsqueeze(1)).squeeze(1)
+        smooth = -logp.mean(dim=-1)
+        return ((1.0 - smoothing) * nll + smoothing * smooth).mean()
+
+    ref_losses = []
+    for i in range(STEPS):
+        for g in opt.param_groups:
+            g["lr"] = float(lr_values[i]) * g.get("lr_scale", 1.0)
+        x_t = torch.from_numpy(data[i]).permute(0, 3, 1, 2)
+        logits = ref(x_t)["cls"]
+        loss = ref_ls_ce(logits, torch.from_numpy(labels[i]))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss.detach()))
+
+    np.testing.assert_allclose(
+        np.array(ours_losses), np.array(ref_losses), rtol=1e-2, atol=1e-3
+    )
+
+
+@requires_reference
 def test_50_step_loss_trajectory_tracks_reference():
     import torch
 

@@ -81,6 +81,32 @@ def build_depth(args, dtype):
     )
 
 
+def build_cls(args, dtype):
+    """ImageNet-1K fine-tune recipe shape: rgb@224 -> linear head
+    (reference run_finetuning_cls.py + cfgs/finetune/cls/
+    ft_in1k_100e_multimae-b.yaml: batch 128/device, layer_decay 0.65,
+    mixup soft targets)."""
+    import functools
+
+    from multimae_tpu.models import LinearOutputAdapter, PatchedInputAdapter
+    from multimae_tpu.models.registry import create_model
+
+    input_adapters = {
+        "rgb": functools.partial(
+            PatchedInputAdapter, num_channels=3, stride_level=1,
+            patch_size_full=16, image_size=args.input_size,
+        ),
+    }
+    output_adapters = {
+        "cls": functools.partial(LinearOutputAdapter,
+                                 num_classes=args.num_classes)
+    }
+    return create_model(
+        "multivit_base", input_adapters=input_adapters,
+        output_adapters=output_adapters, drop_path_rate=0.1, dtype=dtype,
+    )
+
+
 def measure(args, label):
     import jax
     import jax.numpy as jnp
@@ -111,6 +137,20 @@ def measure(args, label):
             lambda p, t, **kw: masked_berhu_loss(p, t),
             ("rgb",),
         )
+    elif args.task == "cls":
+        from multimae_tpu.train.cross_entropy import soft_target_cross_entropy
+
+        model = build_cls(args, jnp.bfloat16)
+        # mixup-style soft targets (the 100e recipe trains through Mixup)
+        soft = jax.nn.softmax(
+            jax.random.normal(jax.random.PRNGKey(1),
+                              (b, args.num_classes), jnp.float32) * 4.0
+        )
+        batch = {
+            "rgb": jax.random.normal(rng, (b, s, s, 3), jnp.float32),
+            "target": soft,
+        }
+        task, loss_fn, in_domains = "cls", soft_target_cross_entropy, ("rgb",)
     else:
         model = build(args, jnp.bfloat16)
         batch = {
@@ -131,16 +171,31 @@ def measure(args, label):
     lr = as_optax_schedule(
         cosine_scheduler(1e-4, 0.0, epochs=64, niter_per_ep=100, warmup_epochs=1)
     )
+    assigner = None
+    if args.task == "cls":
+        from multimae_tpu.train.optim_factory import LayerDecayValueAssigner
+
+        depth = 12
+        assigner = LayerDecayValueAssigner(
+            [0.65 ** (depth + 1 - i) for i in range(depth + 2)]
+        )
     tx = create_optimizer(
         params, opt="adamw", lr_schedule=lr, weight_decay=0.05,
         opt_betas=(0.9, 0.999), filter_bias_and_bn=True,
+        layer_decay_assigner=assigner,
     )
     state = TrainState.create(params=params, tx=tx)
     state = state.replace(
         params=replicate(state.params, mesh),
         opt_state=replicate(state.opt_state, mesh),
     )
-    step = make_dense_train_step(model, task, loss_fn, in_domains=in_domains)
+    if args.task == "cls":
+        from multimae_tpu.train.finetune_step import make_cls_train_step
+
+        step = make_cls_train_step(model, loss_fn)
+    else:
+        step = make_dense_train_step(model, task, loss_fn,
+                                     in_domains=in_domains)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
@@ -169,23 +224,33 @@ def measure(args, label):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", choices=("semseg", "depth"), default="semseg",
+    ap.add_argument("--task", choices=("semseg", "depth", "cls"),
+                    default="semseg",
                     help="semseg: rgb+depth@512 ConvNeXt head (ADE/NYU "
                          "recipe); depth: rgb@256 DPT regression head "
-                         "(NYUv2 depth recipe)")
+                         "(NYUv2 depth recipe); cls: rgb@224 linear head "
+                         "(ImageNet-1K 100e recipe)")
     ap.add_argument("--batch", type=int, default=None, help="per-chip batch")
     ap.add_argument("--input_size", type=int, default=None)
     ap.add_argument("--num_classes", type=int, default=150)
     ap.add_argument("--steps", type=int, default=10)
     args = ap.parse_args()
     if args.input_size is None:
-        args.input_size = 512 if args.task == "semseg" else 256
+        args.input_size = {"semseg": 512, "depth": 256, "cls": 224}[args.task]
     if args.batch is None:
-        args.batch = 16 if args.task == "semseg" else 32
+        args.batch = {"semseg": 16, "depth": 32, "cls": 128}[args.task]
+    if args.task == "cls":
+        args.num_classes = 1000
 
     from multimae_tpu.utils.jax_setup import setup_jax
 
     setup_jax()
+
+    # cls@224 is 197 tokens — below the kernel dispatch threshold, so
+    # there is only one engine to measure.
+    if args.task == "cls":
+        measure(args, "xla_dense")
+        return
 
     # Engine A: auto-dispatch (short-attention Pallas kernel for kv>=512).
     pallas = measure(args, "pallas_auto")
