@@ -51,6 +51,12 @@ def main():
     n_chips = jax.device_count()
     mesh = create_mesh()
     batch_size = BATCH * n_chips
+    if BATCH > 128:
+        # mirror the CLI policy (run_pretraining_multimae.py): large
+        # per-chip batches save bf16 probs instead of rematerializing
+        from multimae_tpu.ops.attention import set_light_attention_residuals
+
+        set_light_attention_residuals(True)
 
     model = build_pretrain_model(
         dtype=jnp.bfloat16, fp32_output_adapters=("semseg",),
