@@ -220,7 +220,9 @@ def build_step_finetune512(per_chip_batch, input_size):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="per-chip batch (default: 128 pretrain, "
+                         "16 finetune512 — the bench operating points)")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
@@ -229,6 +231,8 @@ def main():
                     default="pretrain")
     ap.add_argument("--input_size", type=int, default=512)
     args = ap.parse_args()
+    if args.batch is None:
+        args.batch = 16 if args.mode == "finetune512" else 128
 
     from multimae_tpu.utils.jax_setup import setup_jax
 
