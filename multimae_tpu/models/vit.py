@@ -28,6 +28,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from multimae_tpu.parallel.mesh import constrain_tp
+
 Dtype = jnp.dtype
 
 LAYERNORM_EPS = 1e-6
@@ -129,6 +131,8 @@ class Mlp(nn.Module):
             name="fc1",
         )(x)
         x = gelu(x)  # exact erf by default (torch nn.GELU); see set_approx_gelu
+        # TP: hidden dim over 'model' (encoder scopes only; no-op elsewhere)
+        x = constrain_tp(x, x.ndim - 1, self.path)
         x = nn.Dense(
             out_features,
             dtype=self.dtype,
@@ -199,7 +203,10 @@ class Attention(nn.Module):
             name="qkv",
         )(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = (qkv[:, :, i] for i in range(3))  # each (B, N, H, Dh)
+        # TP: heads over 'model' (encoder scopes on 2-D meshes only). The
+        # replicated qkv output slices locally; proj becomes row-parallel
+        # (psum).
+        q, k, v = (constrain_tp(qkv[:, :, i], 2, self.path) for i in range(3))
         if self.attn_drop > 0.0:
             out = _attention_core_dropped(
                 q, k, v, scale, self.dtype, self.attn_drop, deterministic
@@ -251,9 +258,9 @@ class CrossAttention(nn.Module):
             bias_init=nn.initializers.zeros,
             name="kv",
         )(context)
-        q = q.reshape(b, n, self.num_heads, head_dim)
+        q = constrain_tp(q.reshape(b, n, self.num_heads, head_dim), 2, self.path)
         kv = kv.reshape(b, m, 2, self.num_heads, head_dim)
-        k, v = (kv[:, :, i] for i in range(2))  # each (B, M, H, Dh)
+        k, v = (constrain_tp(kv[:, :, i], 2, self.path) for i in range(2))
         if self.attn_drop > 0.0:
             out = _attention_core_dropped(
                 q, k, v, scale, self.dtype, self.attn_drop, deterministic

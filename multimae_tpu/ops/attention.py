@@ -234,9 +234,11 @@ SHORT_KERNEL_MIN_KV = int(os.environ.get("MULTIMAE_TPU_SHORT_KERNEL_MIN_KV", "51
 
 def _use_short_kernel(q, k) -> bool:
     from multimae_tpu.ops import short_attention_pallas as sap
+    from multimae_tpu.parallel.mesh import constraint_model_size
 
     return (
         os.environ.get("MULTIMAE_TPU_NO_SHORT_ATTENTION") != "1"
+        and constraint_model_size() == 1  # TP meshes take the XLA path
         and jax.default_backend() == "tpu"
         and q.dtype == jnp.bfloat16
         and k.shape[1] >= SHORT_KERNEL_MIN_KV

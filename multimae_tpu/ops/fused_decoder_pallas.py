@@ -72,8 +72,11 @@ def set_force_mode(mode):
 def enabled() -> bool:
     if _FORCE_MODE is not None:
         return True
+    from multimae_tpu.parallel.mesh import constraint_model_size
+
     return (
         os.environ.get("MULTIMAE_TPU_NO_FUSED_DECODER") != "1"
+        and constraint_model_size() == 1  # TP meshes take the XLA path
         and jax.default_backend() == "tpu"
     )
 

@@ -14,6 +14,7 @@ Axes:
 
 from __future__ import annotations
 
+import re
 from typing import Any, Optional, Sequence
 
 import jax
@@ -87,6 +88,55 @@ def constraint_data_size() -> int:
     if _CONSTRAINT_MESH is None:
         return 1
     return int(_CONSTRAINT_MESH.shape.get(DATA_AXIS, 1))
+
+
+def constraint_model_size() -> int:
+    """Size of the model (tensor-parallel) axis of the registered
+    constraint mesh (1 if no mesh is registered)."""
+    if _CONSTRAINT_MESH is None:
+        return 1
+    return int(_CONSTRAINT_MESH.shape.get(MODEL_AXIS, 1))
+
+
+# Module scopes whose weights parallel/tp.py shards over 'model'. The
+# activation constraints below only apply inside these scopes: pinning a
+# replicated-weight scope (the decoders, the adapters) to 'model' would
+# make GSPMD reshard every op in and out of the axis — a flood of
+# collectives with no partitioned GEMM to pay for them (measured: the
+# unscoped version took the 8-virtual-device CPU dryrun from minutes to
+# a stuck all-reduce rendezvous past a 15-minute timeout).
+TP_SCOPE_RE = re.compile(r"^(encoder|blocks)_\d+$")
+
+
+def constrain_tp(x, dim: int, path: Optional[Sequence[str]] = None):
+    """Pin activation dim `dim` over the 'model' axis (tensor parallelism).
+
+    The Megatron recipe, GSPMD-style: instead of hand-splitting weights
+    and inserting collectives, model code marks the head dim of q/k/v and
+    the MLP hidden dim as 'model'-sharded; XLA partitions the adjacent
+    GEMMs column-parallel (free: the producing weights are replicated or
+    column-sharded, each device computes its slice locally) and makes
+    the following contraction row-parallel (one psum per attention/MLP
+    exit — exactly Megatron's two all-reduces per block). No-op unless a
+    mesh with model>1 is registered and the dim divides; dim 0 (batch)
+    is additionally pinned to 'data' when divisible.
+
+    `path` (a flax `module.path`) scopes the constraint to the module
+    scopes whose weights are actually 'model'-sharded (TP_SCOPE_RE —
+    mirrored by tp.py's leaf-spec rules); elsewhere it is a no-op."""
+    n = constraint_model_size()
+    if n <= 1 or x.shape[dim] % n:
+        return x
+    if path is not None and not any(TP_SCOPE_RE.match(str(p)) for p in path):
+        return x
+    spec = [None] * x.ndim
+    spec[dim] = MODEL_AXIS
+    n_data = _CONSTRAINT_MESH.shape.get(DATA_AXIS, 1)
+    if dim != 0 and n_data > 1 and x.shape[0] % n_data == 0:
+        spec[0] = DATA_AXIS
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(_CONSTRAINT_MESH, P(*spec))
+    )
 
 
 def data_shard_map(fn, n_data_args: int = 2):

@@ -1,0 +1,120 @@
+"""Tensor parallelism (Megatron-style) over the 'model' mesh axis.
+
+The reference has no tensor parallelism (SURVEY.md §2.4 — DDP only);
+this is the TPU-native scaling extension for encoders too big or too
+slow for one chip (ViT-L/H at 512px, serving). Design is the GSPMD
+recipe, not hand-written collectives:
+
+  * model code pins the HEAD dim of q/k/v and the MLP HIDDEN dim to the
+    'model' axis (`mesh.constrain_tp`, called inside vit.py Attention /
+    CrossAttention / Mlp — a no-op on 1-D meshes);
+  * this module shards the clean column/row weight dims over 'model'
+    (fc1 column-parallel, fc2 / attn-proj row-parallel);
+  * XLA partitions the GEMMs and inserts exactly Megatron's two psums
+    per block (after attn proj, after fc2) over ICI.
+
+The fused qkv kernel stays replicated: its packed (3, H, Dh) output
+layout has no contiguous 'model' split, and with a replicated weight the
+head-sliced q/k/v are local slices — no collective. The Pallas kernels
+(short-attention / fused decoder / fused MLP / fused block) are
+shard_mapped over 'data' only and auto-disable under model>1 — the XLA
+einsum path is the TP-aware one (see the `enabled()` gates).
+
+Compose with data parallelism by building `create_mesh(model=k)`:
+devices factor as (data, model) with 'model' innermost, i.e. adjacent
+devices (same ICI hop) form the tensor-parallel groups.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multimae_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, TP_SCOPE_RE
+
+# Weight shardings below and activation constraints (mesh.constrain_tp,
+# called with the flax module path from vit.py) must cover the SAME
+# scopes — a sharded weight with unconstrained activations reshards its
+# GEMM; a constrained activation with replicated weights buys collectives
+# for nothing.
+_ENCODER_RE = TP_SCOPE_RE
+
+
+def _tp_leaf_spec(path, shape, n_model: int) -> P:
+    """'model'-axis spec for one param/moment leaf (P() if not sharded).
+
+    Only encoder-block weights with clean contiguous splits are sharded:
+      mlp/fc1 kernel (D, hidden)   -> P(None, 'model')   column-parallel
+      mlp/fc1 bias   (hidden,)     -> P('model')
+      mlp/fc2 kernel (hidden, D)   -> P('model', None)   row-parallel
+      attn/proj kernel (D, D)      -> P('model', None)   row-parallel
+    (attn/proj rows are the H*Dh contraction dim: head-major, so the
+    head sharding of the attention output maps onto contiguous rows.)
+    """
+    names = [str(p) for p in path]
+    if not any(_ENCODER_RE.match(n) for n in names):
+        return P()
+    leaf = names[-1]
+    if "mlp" in names and "fc1" in names:
+        if leaf == "kernel" and len(shape) == 2 and shape[1] % n_model == 0:
+            return P(None, MODEL_AXIS)
+        if leaf == "bias" and len(shape) == 1 and shape[0] % n_model == 0:
+            return P(MODEL_AXIS)
+        return P()
+    if "mlp" in names and "fc2" in names and leaf == "kernel":
+        if len(shape) == 2 and shape[0] % n_model == 0:
+            return P(MODEL_AXIS, None)
+        return P()
+    if "attn" in names and "proj" in names and leaf == "kernel":
+        if len(shape) == 2 and shape[0] % n_model == 0:
+            return P(MODEL_AXIS, None)
+        return P()
+    return P()
+
+
+def tp_state_shardings(state, mesh: Mesh) -> Any:
+    """Per-leaf NamedShardings for a TrainState under a (data, model)
+    mesh: encoder block weights (and their congruent Adam moments, EMA
+    copies) sharded over 'model'; everything else replicated."""
+    from jax.tree_util import tree_map_with_path
+
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def to_sharding(path_keys, leaf):
+        path = tuple(
+            getattr(k, "key", getattr(k, "name", str(k))) for k in path_keys
+        )
+        shape = np.shape(leaf)
+        if not shape:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, _tp_leaf_spec(path, shape, n_model))
+
+    return tree_map_with_path(to_sharding, state)
+
+
+def shard_state_tp(state, mesh: Mesh):
+    """Place an existing TrainState according to TP shardings."""
+    shardings = tp_state_shardings(state, mesh)
+    return jax.tree.map(jax.device_put, state, shardings)
+
+
+def jit_tp(train_step, state, mesh: Mesh):
+    """jit the step tensor-parallel: batch sharded on 'data', encoder
+    weights sharded on 'model', activations partitioned by the in-model
+    constraints (mesh.constrain_tp)."""
+    from multimae_tpu.parallel.mesh import use_constraint_mesh
+
+    assert mesh.shape[MODEL_AXIS] > 1, "use jit_data_parallel for model=1"
+    use_constraint_mesh(mesh)
+    state_sh = tp_state_shardings(state, mesh)
+    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        train_step,
+        in_shardings=(state_sh, data_sh, repl),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,136 @@
+"""Tensor-parallel (model-axis) pretrain step on the simulated 8-device mesh.
+
+The reference has no tensor parallelism (SURVEY.md §2.4); parallel/tp.py
+is the TPU-native scaling extension. These tests check the whole recipe —
+head/hidden activation constraints (vit.py constrain_tp), column/row
+weight shardings, GSPMD-inserted psums — against the single-device step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from multimae_tpu.models import (
+    MaskedCrossEntropyLoss,
+    MaskedL1Loss,
+    MaskedMSELoss,
+)
+from multimae_tpu.parallel.mesh import (
+    MODEL_AXIS,
+    create_mesh,
+    shard_batch,
+    use_constraint_mesh,
+)
+from multimae_tpu.parallel.tp import _tp_leaf_spec, jit_tp, shard_state_tp
+from multimae_tpu.train.optim_factory import create_optimizer
+from multimae_tpu.train.pretrain_step import make_pretrain_train_step
+from multimae_tpu.train.schedules import as_optax_schedule, cosine_scheduler
+from multimae_tpu.train.task_balancing import build_balancer
+from multimae_tpu.train.train_state import TrainState
+from test_train_step import build_tiny, make_batch
+
+
+def test_tp_leaf_spec_rules():
+    assert _tp_leaf_spec(("model", "encoder_3", "mlp", "fc1", "kernel"),
+                         (64, 256), 2) == P(None, MODEL_AXIS)
+    assert _tp_leaf_spec(("model", "encoder_3", "mlp", "fc1", "bias"),
+                         (256,), 2) == P(MODEL_AXIS)
+    assert _tp_leaf_spec(("model", "encoder_0", "mlp", "fc2", "kernel"),
+                         (256, 64), 2) == P(MODEL_AXIS, None)
+    assert _tp_leaf_spec(("model", "encoder_0", "attn", "proj", "kernel"),
+                         (64, 64), 2) == P(MODEL_AXIS, None)
+    # packed qkv has no contiguous model split -> replicated
+    assert _tp_leaf_spec(("model", "encoder_0", "attn", "qkv", "kernel"),
+                         (64, 192), 2) == P()
+    # decoder blocks are outside TP scope
+    assert _tp_leaf_spec(
+        ("model", "output_adapters_rgb", "decoder_0", "mlp", "fc1", "kernel"),
+        (32, 128), 2) == P()
+    # non-divisible dims stay replicated rather than erroring
+    assert _tp_leaf_spec(("model", "encoder_1", "mlp", "fc1", "kernel"),
+                         (64, 255), 2) == P()
+
+
+def _build_setup():
+    model = build_tiny()
+    out_tasks = ("rgb", "depth", "semseg", "norm_rgb")
+    balancer = build_balancer("uncertainty", out_tasks)
+    batch = make_batch()
+    model_params = model.init(
+        {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
+        batch, num_encoded_tokens=24,
+    )["params"]
+    bal_params = balancer.init(
+        jax.random.PRNGKey(0), {t: jnp.zeros(()) for t in out_tasks}
+    )["params"]
+    params = {"model": model_params, "balancer": bal_params}
+    lr_sched = as_optax_schedule(
+        cosine_scheduler(1e-3, 0.0, epochs=2, niter_per_ep=5, warmup_epochs=0)
+    )
+    tx = create_optimizer(
+        params, opt="adamw", lr_schedule=lr_sched, weight_decay=0.05,
+        opt_betas=(0.9, 0.95), filter_bias_and_bn=False,
+    )
+    tasks_loss_fn = {
+        "rgb": MaskedMSELoss(patch_size=16, stride=1),
+        "norm_rgb": MaskedMSELoss(patch_size=16, stride=1, norm_pix=True),
+        "depth": MaskedL1Loss(patch_size=16, stride=1),
+        "semseg": MaskedCrossEntropyLoss(patch_size=16, stride=4),
+    }
+    step_fn = make_pretrain_train_step(
+        model, balancer, tasks_loss_fn,
+        num_encoded_tokens=24, in_domains=("rgb", "depth", "semseg"),
+        extra_norm_pix_loss=True, clip_grad=1.0,
+    )
+    return params, tx, step_fn, batch
+
+
+@pytest.mark.parametrize("model_par", [2, 4])
+def test_tp_step_matches_single(model_par):
+    assert jax.device_count() >= 8, "conftest must simulate 8 cpu devices"
+    params, tx, step_fn, batch = _build_setup()
+
+    try:
+        # single-device reference (no mesh registered)
+        use_constraint_mesh(None)
+        state_ref = TrainState.create(
+            params=jax.tree.map(jnp.array, params), tx=tx)
+        state_ref, metrics_ref = jax.jit(step_fn)(
+            state_ref, batch, jax.random.PRNGKey(7))
+
+        mesh = create_mesh(model=model_par)  # (8/model_par) x model_par
+        state_tp = TrainState.create(
+            params=jax.tree.map(jnp.array, params), tx=tx)
+        state_tp = shard_state_tp(state_tp, mesh)
+        # a TP-sharded leaf really is distributed
+        fc1 = state_tp.params["model"]["encoder_0"]["mlp"]["fc1"]["kernel"]
+        assert fc1.sharding.spec == P(None, MODEL_AXIS)
+
+        tp_step = jit_tp(step_fn, state_tp, mesh)
+        state_tp, metrics_tp = tp_step(
+            state_tp, shard_batch(batch, mesh), jax.random.PRNGKey(7))
+
+        np.testing.assert_allclose(
+            float(metrics_tp["loss"]), float(metrics_ref["loss"]), rtol=1e-4)
+        np.testing.assert_allclose(
+            float(metrics_tp["grad_norm"]), float(metrics_ref["grad_norm"]),
+            rtol=1e-3)
+        # updated params match: one replicated leaf + one model-sharded leaf
+        for path in (
+            ("encoder_0", "attn", "qkv", "kernel"),
+            ("encoder_1", "mlp", "fc1", "kernel"),
+            ("encoder_1", "mlp", "fc2", "kernel"),
+            ("encoder_0", "attn", "proj", "kernel"),
+        ):
+            a = state_ref.params["model"]
+            b = state_tp.params["model"]
+            for k in path:
+                a, b = a[k], b[k]
+            # atol covers psum reduction-order noise (grows with model_par)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(jax.device_get(b)),
+                rtol=2e-4, atol=5e-6, err_msg="/".join(path))
+    finally:
+        use_constraint_mesh(None)
