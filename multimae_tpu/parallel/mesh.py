@@ -139,6 +139,24 @@ def constrain_tp(x, dim: int, path: Optional[Sequence[str]] = None):
     )
 
 
+# Sequence parallelism: MEASURED DEAD END under GSPMD (2026-08-17).
+# A Megatron-SP formulation (encoder residual stream token-sharded over
+# 'model' via with_sharding_constraint at block entry / residual adds /
+# the row-parallel proj+fc2 outputs, composing with constrain_tp) was
+# built, numerically verified against the single-device step at
+# (4,2)x32 tokens, and compile-inspected: the jax-0.9.0 SPMD partitioner
+# emitted ZERO reduce-scatters for the pattern — block exits stayed
+# all-reduce and every SP re-shard lowered to all-gather/dynamic-slice
+# pairs. fwd+bwd collective mix for a 2-block encoder at divisible
+# ntok=96, TP vs TP+SP: all-reduce 61 -> 134, all-gather 10 -> 32,
+# dynamic-slice 72 -> 512. Strictly worse at the HLO level, so the
+# implementation was removed rather than shipped as a footgun knob.
+# (Also: with_sharding_constraint requires the token dim to divide the
+# axis, and MultiMAE's natural lengths — 99/197/2049, patch tokens + 1
+# global — are odd.) Revisit only if GSPMD grows a reduce-scatter
+# creation pass for constraint-derived partial sums.
+
+
 def data_shard_map(fn, n_data_args: int = 2):
     """Run a per-sample-independent fn per-device over the data axis.
 

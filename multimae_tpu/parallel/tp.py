@@ -104,7 +104,12 @@ def shard_state_tp(state, mesh: Mesh):
 def jit_tp(train_step, state, mesh: Mesh):
     """jit the step tensor-parallel: batch sharded on 'data', encoder
     weights sharded on 'model', activations partitioned by the in-model
-    constraints (mesh.constrain_tp)."""
+    constraints (mesh.constrain_tp).
+
+    No sequence-parallel variant: a Megatron-SP formulation was built
+    and removed — the SPMD partitioner emitted no reduce-scatters for
+    it and the collective mix got strictly worse (see the dead-end note
+    in parallel/mesh.py)."""
     from multimae_tpu.parallel.mesh import use_constraint_mesh
 
     assert mesh.shape[MODEL_AXIS] > 1, "use jit_data_parallel for model=1"

@@ -53,14 +53,39 @@ def test_tp_leaf_spec_rules():
                          (64, 255), 2) == P()
 
 
-def _build_setup():
+def test_constrain_tp_scope_rules():
+    """constrain_tp: engaged only inside encoder scopes (the only
+    scopes whose weights tp_state_shardings shards) and when the dim
+    divides the model axis; otherwise returns its input untouched."""
+    from multimae_tpu.parallel.mesh import constrain_tp
+
+    mesh = create_mesh(model=2)  # (4, 2)
+    try:
+        use_constraint_mesh(mesh)
+        x = jnp.ones((8, 10, 4, 16))  # (B, N, H, Dh)
+        y = jax.jit(lambda t: constrain_tp(t * 1.0, 2, ("encoder_0", "attn")))(x)
+        assert y.sharding.spec == P("data", None, MODEL_AXIS), y.sharding
+        # replicated-weight scope (decoder): off — constraining it would
+        # reshard every decoder op with no partitioned GEMM to pay for it
+        assert constrain_tp(x, 2, ("output_adapters_rgb", "decoder_0")) is x
+        # non-divisible dim: off
+        xo = jnp.ones((8, 10, 3, 16))
+        assert constrain_tp(xo, 2, ("encoder_0", "attn")) is xo
+        # no path given (non-module callers): scoping waived
+        y2 = jax.jit(lambda t: constrain_tp(t * 1.0, 2))(x)
+        assert y2.sharding.spec == P("data", None, MODEL_AXIS), y2.sharding
+    finally:
+        use_constraint_mesh(None)
+
+
+def _build_setup(num_encoded_tokens: int = 24):
     model = build_tiny()
     out_tasks = ("rgb", "depth", "semseg", "norm_rgb")
     balancer = build_balancer("uncertainty", out_tasks)
     batch = make_batch()
     model_params = model.init(
         {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
-        batch, num_encoded_tokens=24,
+        batch, num_encoded_tokens=num_encoded_tokens,
     )["params"]
     bal_params = balancer.init(
         jax.random.PRNGKey(0), {t: jnp.zeros(()) for t in out_tasks}
@@ -81,7 +106,8 @@ def _build_setup():
     }
     step_fn = make_pretrain_train_step(
         model, balancer, tasks_loss_fn,
-        num_encoded_tokens=24, in_domains=("rgb", "depth", "semseg"),
+        num_encoded_tokens=num_encoded_tokens,
+        in_domains=("rgb", "depth", "semseg"),
         extra_norm_pix_loss=True, clip_grad=1.0,
     )
     return params, tx, step_fn, batch
@@ -128,9 +154,11 @@ def test_tp_step_matches_single(model_par):
             b = state_tp.params["model"]
             for k in path:
                 a, b = a[k], b[k]
-            # atol covers psum reduction-order noise (grows with model_par)
+            # tolerance covers collective reduction-order noise (psum vs
+            # reduce-scatter orderings, grows with model_par) amplified
+            # by Adam's second-moment sqrt
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(jax.device_get(b)),
-                rtol=2e-4, atol=5e-6, err_msg="/".join(path))
+                rtol=5e-4, atol=2e-5, err_msg="/".join(path))
     finally:
         use_constraint_mesh(None)
