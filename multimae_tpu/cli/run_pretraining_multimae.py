@@ -140,6 +140,12 @@ def get_args(argv=None):
     parser.add_argument("--fsdp", action="store_true",
                         help="Shard params + optimizer state over the data "
                              "axis (ZeRO-3 analogue via GSPMD)")
+    parser.add_argument("--model_parallel", default=1, type=int,
+                        help="Tensor-parallel group size over the 'model' "
+                             "mesh axis (Megatron-style, parallel/tp.py; "
+                             "encoder weights sharded, two psums per block). "
+                             "Composes with data parallelism on the "
+                             "remaining devices; incompatible with --fsdp")
 
     # Synthetic-data mode for benchmarking / smoke tests without a dataset
     parser.add_argument("--synthetic_data", action="store_true",
@@ -185,9 +191,13 @@ def main(args):
     from multimae_tpu.utils.logger import MetricLogger, WandbLogger, write_log_line
 
     mesh_lib.initialize_distributed()
-    mesh = mesh_lib.create_mesh()
+    assert not (args.fsdp and args.model_parallel > 1), (
+        "--fsdp and --model_parallel are mutually exclusive"
+    )
+    mesh = mesh_lib.create_mesh(model=args.model_parallel)
     n_devices = jax.device_count()
-    print(f"devices: {n_devices} ({jax.devices()[0].platform})")
+    print(f"devices: {n_devices} ({jax.devices()[0].platform})"
+          + (f", mesh {mesh.shape}" if args.model_parallel > 1 else ""))
 
     if args.approx_gelu:
         from multimae_tpu.models.vit import set_approx_gelu
@@ -236,8 +246,9 @@ def main(args):
     out_tasks = list(out_domains) + (["norm_rgb"] if args.extra_norm_pix_loss else [])
     balancer = build_balancer(args.task_balancer, out_tasks)
 
-    # Data
-    global_batch = args.batch_size * n_devices
+    # Data — batch_size is per data-parallel group (= per device unless
+    # --model_parallel>1 makes each group span a tensor-parallel set)
+    global_batch = args.batch_size * (n_devices // args.model_parallel)
     if args.synthetic_data:
         num_steps_per_epoch = args.synthetic_steps_per_epoch
         dataset_len = global_batch * num_steps_per_epoch
@@ -330,6 +341,10 @@ def main(args):
         from multimae_tpu.parallel.fsdp import shard_state_fsdp
 
         state = shard_state_fsdp(state, mesh)
+    elif args.model_parallel > 1:
+        from multimae_tpu.parallel.tp import shard_state_tp
+
+        state = shard_state_tp(state, mesh)
     else:
         state = state.replace(
             params=mesh_lib.replicate(state.params, mesh),
@@ -352,6 +367,10 @@ def main(args):
         from multimae_tpu.parallel.fsdp import jit_fsdp
 
         dp_step = jit_fsdp(step_fn, state, mesh)
+    elif args.model_parallel > 1:
+        from multimae_tpu.parallel.tp import jit_tp
+
+        dp_step = jit_tp(step_fn, state, mesh)
     else:
         dp_step = jit_data_parallel(step_fn, mesh)
 
