@@ -124,6 +124,11 @@ def get_args(argv=None):
     parser.add_argument("--synthetic_data", action="store_true")
     parser.add_argument("--synthetic_steps_per_epoch", default=8, type=int)
 
+    parser.add_argument("--model_parallel", default=1, type=int,
+                        help="Tensor-parallel group size over the 'model' "
+                             "mesh axis (Megatron-style, parallel/tp.py). "
+                             "batch_size becomes per data-parallel group")
+
     args_config, remaining = config_parser.parse_known_args(argv)
     if args_config.config:
         with open(args_config.config, "r") as f:
@@ -223,12 +228,15 @@ def main(args):
     from multimae_tpu.utils.logger import MetricLogger, write_log_line
 
     mesh_lib.initialize_distributed()
-    mesh = mesh_lib.create_mesh()
+    mesh = mesh_lib.create_mesh(model=args.model_parallel)
+    # Register for in-model sharding hints and so shard_mapped Pallas
+    # kernels partition over 'data' on pods (SCALING.md rule 3).
+    mesh_lib.use_constraint_mesh(mesh)
     n_devices = jax.device_count()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     model = build_cls_model(args, dtype)
-    global_batch = args.batch_size * n_devices
+    global_batch = args.batch_size * (n_devices // args.model_parallel)
 
     # Data
     mean_std = {}
@@ -394,11 +402,6 @@ def main(args):
         if host_ema is not None and out[2].get("ema_params"):
             host_ema.load(out[2]["ema_params"])
 
-    state = state.replace(
-        params=mesh_lib.replicate(state.params, mesh),
-        opt_state=mesh_lib.replicate(state.opt_state, mesh),
-    )
-
     train_step = make_cls_train_step(
         model, loss, clip_grad=args.clip_grad,
         ema_decay=args.model_ema_decay if ema_on_device else None,
@@ -407,12 +410,28 @@ def main(args):
 
     repl = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P("data"))
-    jit_train = jax.jit(
-        train_step, in_shardings=(repl, data_sh, repl),
-        out_shardings=(repl, repl), donate_argnums=(0,),
-    )
+    if args.model_parallel > 1:
+        from multimae_tpu.parallel.tp import (
+            jit_tp,
+            shard_state_tp,
+            tp_state_shardings,
+        )
+
+        state = shard_state_tp(state, mesh)
+        jit_train = jit_tp(train_step, state, mesh)
+        eval_param_sh = tp_state_shardings(state.params, mesh)
+    else:
+        state = state.replace(
+            params=mesh_lib.replicate(state.params, mesh),
+            opt_state=mesh_lib.replicate(state.opt_state, mesh),
+        )
+        jit_train = jax.jit(
+            train_step, in_shardings=(repl, data_sh, repl),
+            out_shardings=(repl, repl), donate_argnums=(0,),
+        )
+        eval_param_sh = repl
     eval_step = jax.jit(
-        make_cls_eval_step(model), in_shardings=(repl, data_sh),
+        make_cls_eval_step(model), in_shardings=(eval_param_sh, data_sh),
         out_shardings=data_sh,
     )
 

@@ -131,6 +131,12 @@ def get_args(argv=None):
     parser.add_argument("--synthetic_data", action="store_true")
     parser.add_argument("--synthetic_steps_per_epoch", default=4, type=int)
 
+    parser.add_argument("--model_parallel", default=1, type=int,
+                        help="Tensor-parallel group size over the 'model' "
+                             "mesh axis (Megatron-style, parallel/tp.py) — "
+                             "the 512px/2049-token regime is its target. "
+                             "batch_size becomes per data-parallel group")
+
     args_config, remaining = config_parser.parse_known_args(argv)
     if args_config.config:
         with open(args_config.config, "r") as f:
@@ -262,7 +268,11 @@ def main(args):
     from multimae_tpu.utils.metrics import confusion_matrix, miou_from_confusion
 
     mesh_lib.initialize_distributed()
-    mesh = mesh_lib.create_mesh()
+    mesh = mesh_lib.create_mesh(model=args.model_parallel)
+    # Register for in-model sharding hints AND so the shard_mapped
+    # Pallas kernels partition over 'data' instead of being
+    # GSPMD-replicated (SCALING.md rule 3).
+    mesh_lib.use_constraint_mesh(mesh)
     n_devices = jax.device_count()
     dtype = jnp.bfloat16 if args.fp16 else jnp.float32
 
@@ -272,7 +282,7 @@ def main(args):
     if args.use_mask_valid:
         all_domains.append("mask_valid")
 
-    global_batch = args.batch_size * n_devices
+    global_batch = args.batch_size * (n_devices // args.model_parallel)
 
     def example_batch(b):
         rng = np.random.default_rng(0)
@@ -365,21 +375,32 @@ def main(args):
         print(f"[checkpoint] resumed from {args.resume} (epoch {last_epoch})")
     elif args.auto_resume and args.output_dir:
         state, start_epoch = auto_load_checkpoint(args.output_dir, state)
-    state = state.replace(
-        params=mesh_lib.replicate(state.params, mesh),
-        opt_state=mesh_lib.replicate(state.opt_state, mesh),
-    )
-
-    train_step = make_dense_train_step(
-        model, "semseg", seg_cross_entropy, in_domains=tuple(in_domains),
-        clip_grad=args.clip_grad,
-    )
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P("data"))
-    jit_train = jax.jit(train_step, in_shardings=(repl, data_sh, repl),
-                        out_shardings=(repl, repl), donate_argnums=(0,))
+    train_step = make_dense_train_step(
+        model, "semseg", seg_cross_entropy, in_domains=tuple(in_domains),
+        clip_grad=args.clip_grad,
+    )
+    if args.model_parallel > 1:
+        from multimae_tpu.parallel.tp import (
+            jit_tp,
+            shard_state_tp,
+            tp_state_shardings,
+        )
+
+        state = shard_state_tp(state, mesh)
+        jit_train = jit_tp(train_step, state, mesh)
+        eval_param_sh = tp_state_shardings(state.params, mesh)
+    else:
+        state = state.replace(
+            params=mesh_lib.replicate(state.params, mesh),
+            opt_state=mesh_lib.replicate(state.opt_state, mesh),
+        )
+        jit_train = jax.jit(train_step, in_shardings=(repl, data_sh, repl),
+                            out_shardings=(repl, repl), donate_argnums=(0,))
+        eval_param_sh = repl
     eval_fwd = make_dense_eval_step(model, "semseg", in_domains=tuple(in_domains))
 
     def eval_step(params, batch):
@@ -388,7 +409,8 @@ def main(args):
         return confusion_matrix(pred_cls, batch["target"], args.num_classes,
                                 ignore_index=SEG_IGNORE_INDEX)
 
-    jit_eval = jax.jit(eval_step, in_shardings=(repl, data_sh), out_shardings=repl)
+    jit_eval = jax.jit(eval_step, in_shardings=(eval_param_sh, data_sh),
+                       out_shardings=repl)
 
     def prepare_batch(b):
         out = {}

@@ -123,6 +123,11 @@ def get_args(argv=None):
     parser.add_argument("--synthetic_data", action="store_true")
     parser.add_argument("--synthetic_steps_per_epoch", default=4, type=int)
 
+    parser.add_argument("--model_parallel", default=1, type=int,
+                        help="Tensor-parallel group size over the 'model' "
+                             "mesh axis (Megatron-style, parallel/tp.py). "
+                             "batch_size becomes per data-parallel group")
+
     args_config, remaining = config_parser.parse_known_args(argv)
     if args_config.config:
         with open(args_config.config, "r") as f:
@@ -204,7 +209,10 @@ def main(args):
     from multimae_tpu.utils.logger import MetricLogger, write_log_line
 
     mesh_lib.initialize_distributed()
-    mesh = mesh_lib.create_mesh()
+    mesh = mesh_lib.create_mesh(model=args.model_parallel)
+    # Register for in-model sharding hints and so shard_mapped Pallas
+    # kernels partition over 'data' on pods (SCALING.md rule 3).
+    mesh_lib.use_constraint_mesh(mesh)
     n_devices = jax.device_count()
     dtype = jnp.bfloat16 if args.fp16 else jnp.float32
 
@@ -213,7 +221,7 @@ def main(args):
     all_domains = sorted(set(in_domains) | set(out_domains))
     if args.use_mask_valid:
         all_domains.append("mask_valid")
-    global_batch = args.batch_size * n_devices
+    global_batch = args.batch_size * (n_devices // args.model_parallel)
 
     def example_batch(b):
         rng = np.random.default_rng(0)
@@ -285,10 +293,15 @@ def main(args):
         print(f"[checkpoint] resumed from {args.resume} (epoch {last_epoch})")
     elif args.auto_resume and args.output_dir:
         state, start_epoch = auto_load_checkpoint(args.output_dir, state)
-    state = state.replace(
-        params=mesh_lib.replicate(state.params, mesh),
-        opt_state=mesh_lib.replicate(state.opt_state, mesh),
-    )
+    if args.model_parallel > 1:
+        from multimae_tpu.parallel.tp import shard_state_tp
+
+        state = shard_state_tp(state, mesh)
+    else:
+        state = state.replace(
+            params=mesh_lib.replicate(state.params, mesh),
+            opt_state=mesh_lib.replicate(state.opt_state, mesh),
+        )
 
     train_step = make_dense_train_step(
         model, task, masked_l1_loss, in_domains=tuple(in_domains),
@@ -298,8 +311,14 @@ def main(args):
 
     repl = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P("data"))
-    jit_train = jax.jit(train_step, in_shardings=(repl, data_sh, repl),
-                        out_shardings=(repl, repl), donate_argnums=(0,))
+    if args.model_parallel > 1:
+        from multimae_tpu.parallel.tp import jit_tp
+
+        jit_train = jit_tp(train_step, state, mesh)
+    else:
+        jit_train = jax.jit(
+            train_step, in_shardings=(repl, data_sh, repl),
+            out_shardings=(repl, repl), donate_argnums=(0,))
     eval_fwd = make_dense_eval_step(model, task, in_domains=tuple(in_domains))
 
     def prepare_batch(b):

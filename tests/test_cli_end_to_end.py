@@ -97,3 +97,44 @@ def test_semseg_cli_real_data_with_eval(fake_multitask_root):
         "--num_workers", "0", "--eval_freq", "1", "--no_save_ckpt",
     ])
     main(args)
+
+
+def test_pretraining_cli_model_parallel(tmp_path):
+    """--model_parallel 2: (4, 2) mesh, TP-sharded state, checkpoint save."""
+    from multimae_tpu.cli.run_pretraining_multimae import get_args, main
+    from multimae_tpu.parallel.mesh import use_constraint_mesh
+
+    out = str(tmp_path / "out_tp")
+    args = get_args(TINY_PRETRAIN + [
+        "--model_parallel", "2",
+        "--output_dir", out, "--save_ckpt_freq", "1",
+        "--task_balancer", "uncertainty",
+    ])
+    try:
+        main(args)
+    finally:
+        use_constraint_mesh(None)
+    assert os.path.exists(os.path.join(out, "checkpoint-0.msgpack"))
+
+
+def test_semseg_cli_model_parallel_with_eval(fake_multitask_root):
+    """--model_parallel 2 on the semseg CLI: TP train step + TP-sharded
+    eval params through the on-device confusion matrix."""
+    from multimae_tpu.cli.run_finetuning_semseg import get_args, main
+    from multimae_tpu.parallel.mesh import use_constraint_mesh
+
+    args = get_args([
+        "--model", "multivit_tiny",
+        "--data_path", fake_multitask_root,
+        "--eval_data_path", fake_multitask_root,
+        "--epochs", "1", "--warmup_epochs", "0", "--batch_size", "2",
+        "--input_size", "64", "--num_classes", "10",
+        "--decoder_dim", "384", "--decoder_depth", "1",
+        "--output_adapter", "convnext", "--no_fp16", "--no_auto_resume",
+        "--num_workers", "0", "--eval_freq", "1", "--no_save_ckpt",
+        "--model_parallel", "2",
+    ])
+    try:
+        main(args)
+    finally:
+        use_constraint_mesh(None)
