@@ -10,6 +10,10 @@ Measures the FULL jitted training step (masking + fwd + bwd + AdamW) for
 the flagship recipe shapes: batch 128/chip, 224px, 98/589 visible
 tokens, bf16 compute with fp32 semseg adapter — i.e. the hot loop of
 cfgs/pretrain/multimae-b_98_rgb+-depth-semseg_1600e.yaml.
+
+`python bench.py --large` measures pretrain_multimae_large (ViT-L
+encoder) at batch 64/chip instead, with its own pinned baseline
+(BENCH_BASELINE_LARGE.json).
 """
 
 import json
@@ -19,9 +23,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# --large: same measurement for pretrain_multimae_large (ViT-L encoder,
+# 1024/24/16) at batch 64/chip, reported as its own metric with its own
+# pinned first-run baseline. The default (driver) contract is untouched.
+LARGE = "--large" in sys.argv[1:]
+_BASE_NAME = "BENCH_BASELINE_LARGE.json" if LARGE else "BENCH_BASELINE.json"
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_BASELINE.json")
-BATCH = int(os.environ.get("MULTIMAE_TPU_BENCH_BATCH", "128"))
+                             _BASE_NAME)
+BATCH = int(os.environ.get("MULTIMAE_TPU_BENCH_BATCH",
+                           "64" if LARGE else "128"))
 STEPS = 20
 WARMUP = 3
 
@@ -59,6 +69,8 @@ def main():
         set_light_attention_residuals(True)
 
     model = build_pretrain_model(
+        model_name=("pretrain_multimae_large" if LARGE
+                    else "pretrain_multimae_base"),
         dtype=jnp.bfloat16, fp32_output_adapters=("semseg",),
         decoder_return_patches=True,
     )
@@ -122,12 +134,13 @@ def main():
         with open(BASELINE_FILE, "w") as f:
             json.dump(
                 {"value": per_chip, "unit": "samples/sec/chip",
-                 "note": "first recorded run (round 1); reference publishes no throughput"},
+                 "note": "first recorded run; reference publishes no throughput"},
                 f,
             )
 
     print(json.dumps({
-        "metric": "pretrain_vitb_rgbds_throughput",
+        "metric": ("pretrain_vitl_rgbds_throughput" if LARGE
+                   else "pretrain_vitb_rgbds_throughput"),
         "value": round(per_chip, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(per_chip / base, 4),

@@ -16,6 +16,16 @@ pytestmark = pytest.mark.skipif(
     reason="slow CLI end-to-end tests; set MULTIMAE_RUN_SLOW_TESTS=1",
 )
 
+
+@pytest.fixture(autouse=True)
+def _clear_constraint_mesh():
+    """CLI mains register the process-global constraint mesh
+    (use_constraint_mesh); don't let it leak into later tests."""
+    yield
+    from multimae_tpu.parallel.mesh import use_constraint_mesh
+
+    use_constraint_mesh(None)
+
 TINY_PRETRAIN = [
     "--model", "pretrain_multimae_tiny",
     "--synthetic_data", "--synthetic_steps_per_epoch", "2",
