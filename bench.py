@@ -37,10 +37,28 @@ WARMUP = 3
 
 
 def main():
+    import threading
+
     from multimae_tpu.utils.jax_setup import setup_jax
 
     setup_jax()
     import jax
+
+    # Backend init goes through the axon tunnel; when the tunnel is
+    # down, make_c_api_client blocks FOREVER (see CLAUDE.md platform
+    # gotchas). Fail fast and legibly instead of eating the caller's
+    # whole timeout. Healthy init is seconds; 180 s is generous.
+    def _die():
+        sys.stderr.write(
+            "bench.py: jax backend init timed out after 180 s — the axon "
+            "TPU tunnel is unreachable (this is infra, not the bench)\n")
+        os._exit(3)
+
+    watchdog = threading.Timer(180, _die)
+    watchdog.daemon = True
+    watchdog.start()
+    jax.devices()
+    watchdog.cancel()
     import jax.numpy as jnp
 
     from multimae_tpu.cli.factory import (
