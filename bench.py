@@ -47,18 +47,25 @@ def main():
     # Backend init goes through the axon tunnel; when the tunnel is
     # down, make_c_api_client blocks FOREVER (see CLAUDE.md platform
     # gotchas). Fail fast and legibly instead of eating the caller's
-    # whole timeout. Healthy init is seconds; 180 s is generous.
-    def _die():
+    # whole timeout; the parent process (below) retries rc=3 with
+    # backoff so one transient flap doesn't void the round.
+    def _die(phase, secs):
         sys.stderr.write(
-            "bench.py: jax backend init timed out after 180 s — the axon "
-            "TPU tunnel is unreachable (this is infra, not the bench)\n")
+            f"bench.py: {phase} timed out after {secs} s — the axon "
+            "TPU tunnel is unreachable or hung (infra, not the bench)\n")
         os._exit(3)
 
-    watchdog = threading.Timer(180, _die)
+    watchdog = threading.Timer(180, _die, ("jax backend init", 180))
     watchdog.daemon = True
     watchdog.start()
     jax.devices()
     watchdog.cancel()
+    # Second watchdog: a tunnel flap mid-compile/mid-run also blocks
+    # forever (in block_until_ready). First compile through the tunnel
+    # is ~5 min; 1200 s is generous for compile + 23 steps.
+    watchdog = threading.Timer(1200, _die, ("bench compile/run", 1200))
+    watchdog.daemon = True
+    watchdog.start()
     import jax.numpy as jnp
 
     from multimae_tpu.cli.factory import (
@@ -156,6 +163,7 @@ def main():
                 f,
             )
 
+    watchdog.cancel()
     print(json.dumps({
         "metric": ("pretrain_vitl_rgbds_throughput" if LARGE
                    else "pretrain_vitb_rgbds_throughput"),
@@ -165,5 +173,33 @@ def main():
     }))
 
 
+def retry_wrapper():
+    """Run the bench in a child process, retrying rc=3 (tunnel-init or
+    mid-run hang) with backoff. The hang is inside a C call
+    (make_c_api_client / block_until_ready), so retry MUST be a fresh
+    process — the stuck backend can't be reinitialized in-process."""
+    import subprocess
+
+    attempts = int(os.environ.get("MULTIMAE_TPU_BENCH_ATTEMPTS", "3"))
+    backoff = int(os.environ.get("MULTIMAE_TPU_BENCH_BACKOFF_S", "60"))
+    env = dict(os.environ, _MULTIMAE_BENCH_CHILD="1")
+    for i in range(attempts):
+        rc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+            env=env,
+        ).returncode
+        if rc != 3:
+            sys.exit(rc)
+        if i < attempts - 1:
+            sys.stderr.write(
+                f"bench.py: attempt {i + 1}/{attempts} hit a tunnel "
+                f"timeout; retrying in {backoff} s\n")
+            time.sleep(backoff)
+    sys.exit(3)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("_MULTIMAE_BENCH_CHILD") == "1":
+        main()
+    else:
+        retry_wrapper()
