@@ -28,7 +28,15 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from multimae_tpu.parallel.mesh import constrain_tp
+from multimae_tpu.parallel.mesh import TP_SCOPE_RE, constrain_tp
+
+
+def _in_tp_scope(path) -> bool:
+    """True when a flax module path sits in a Megatron-TP scope
+    (encoder blocks, TP_SCOPE_RE) — i.e. its q/k/v head dim is
+    'model'-sharded by constrain_tp and attention kernels must run on
+    local head slices."""
+    return path is not None and any(TP_SCOPE_RE.match(str(p)) for p in path)
 
 Dtype = jnp.dtype
 
@@ -146,17 +154,19 @@ class Mlp(nn.Module):
         return x
 
 
-def _attention_core(q, k, v, scale: float, dtype) -> jnp.ndarray:
+def _attention_core(q, k, v, scale: float, dtype,
+                    tp_scoped: bool = False) -> jnp.ndarray:
     """Softmax attention with fp32 logits/softmax.
 
     q,k,v: (B, N, H, Dh) — the natural reshape of the fused qkv Dense
     output (no transposes materialised anywhere on this path). Returns
     (B, N, H, Dh) in `dtype`. Dispatches to the fused short-attention
-    Pallas kernel on TPU/bf16 (ops/attention.py).
+    Pallas kernel on TPU/bf16 (ops/attention.py); `tp_scoped` marks
+    Megatron-TP call sites (model-sharded heads, head-sliced kernel).
     """
     from multimae_tpu.ops.attention import fused_attention_bnhd
 
-    return fused_attention_bnhd(q, k, v, scale).astype(dtype)
+    return fused_attention_bnhd(q, k, v, scale, tp_scoped).astype(dtype)
 
 
 def _attention_core_dropped(q, k, v, scale: float, dtype, rate: float,
@@ -212,7 +222,8 @@ class Attention(nn.Module):
                 q, k, v, scale, self.dtype, self.attn_drop, deterministic
             )
         else:
-            out = _attention_core(q, k, v, scale, self.dtype)
+            out = _attention_core(q, k, v, scale, self.dtype,
+                                  tp_scoped=_in_tp_scope(self.path))
         out = out.reshape(b, n, c)
         out = nn.Dense(
             c,
@@ -266,7 +277,8 @@ class CrossAttention(nn.Module):
                 q, k, v, scale, self.dtype, self.attn_drop, deterministic
             )
         else:
-            out = _attention_core(q, k, v, scale, self.dtype)
+            out = _attention_core(q, k, v, scale, self.dtype,
+                                  tp_scoped=_in_tp_scope(self.path))
         out = out.reshape(b, n, c)
         out = nn.Dense(
             c,
@@ -313,8 +325,12 @@ class Block(nn.Module):
             if (
                 fbp.enabled()
                 and dim % self.num_heads == 0
-                and jnp.dtype(self.dtype)
-                in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32))
+                # bf16 only: the kernel's GELU is the tanh-basis
+                # polynomial (Mosaic has no erf), which matches the bf16
+                # module path but would break the contract that fp32
+                # paths keep jax.nn.gelu's exact erf (golden parity) —
+                # e.g. the depth fine-tune recipe runs fp32 eval.
+                and jnp.dtype(self.dtype) == jnp.dtype(jnp.bfloat16)
                 and fbp.supported(x.shape[1], dim, hidden, self.dtype)
                 and x.shape[0] % constraint_data_size() == 0
             ):

@@ -232,13 +232,25 @@ def flash_attention_padded(q, k, v, sm_scale: float) -> jnp.ndarray:
 SHORT_KERNEL_MIN_KV = int(os.environ.get("MULTIMAE_TPU_SHORT_KERNEL_MIN_KV", "512"))
 
 
-def _use_short_kernel(q, k) -> bool:
+def _use_short_kernel(q, k, tp_scoped: bool = False) -> bool:
     from multimae_tpu.ops import short_attention_pallas as sap
-    from multimae_tpu.parallel.mesh import constraint_model_size
+    from multimae_tpu.parallel.mesh import (
+        constraint_data_size,
+        constraint_model_size,
+    )
 
+    n_model = constraint_model_size()
+    n_data = constraint_data_size()
     return (
         os.environ.get("MULTIMAE_TPU_NO_SHORT_ATTENTION") != "1"
-        and constraint_model_size() == 1  # TP meshes take the XLA path
+        # TP: at TP-scoped call sites q/k/v heads are 'model'-sharded
+        # (constrain_tp) and the kernel runs on the local head slice
+        # via bnhd_shard_map; non-TP sites under a model>1 mesh need
+        # the heads to be replicable (always true) — they shard over
+        # 'data' only, mirroring the XLA path's replication.
+        and (n_model == 1 or not tp_scoped or q.shape[2] % n_model == 0)
+        # data mesh: the opaque kernel must shard the batch dim
+        and (n_data <= 1 or q.shape[0] % n_data == 0)
         and jax.default_backend() == "tpu"
         and q.dtype == jnp.bfloat16
         and k.shape[1] >= SHORT_KERNEL_MIN_KV
@@ -257,7 +269,8 @@ def fused_attention(q, k, v, sm_scale: float) -> jnp.ndarray:
     return jnp.swapaxes(out, 1, 2)
 
 
-def fused_attention_bnhd(q, k, v, sm_scale: float) -> jnp.ndarray:
+def fused_attention_bnhd(q, k, v, sm_scale: float,
+                         tp_scoped: bool = False) -> jnp.ndarray:
     """q: (B, Nq, H, D), k/v: (B, Nk, H, D) -> (B, Nq, H, D).
 
     Dispatch (TPU, bf16): the fused short-sequence Pallas kernel
@@ -267,11 +280,20 @@ def fused_attention_bnhd(q, k, v, sm_scale: float) -> jnp.ndarray:
     Opt out with MULTIMAE_TPU_NO_SHORT_ATTENTION=1. The shipped flash
     kernel stays opt-in for very long sequences; XLA dense einsum is the
     CPU / fp32 / fallback path (golden-parity reference semantics).
-    """
-    if _use_short_kernel(q, k):
-        from multimae_tpu.ops.short_attention_pallas import short_attention
 
-        return short_attention(q, k, v, sm_scale)
+    `tp_scoped`: the caller sits in a Megatron TP scope (encoder
+    blocks), i.e. the head dim is 'model'-sharded — the kernel then
+    runs per-device on its head slice via bnhd_shard_map.
+    """
+    if _use_short_kernel(q, k, tp_scoped):
+        from multimae_tpu.ops.short_attention_pallas import short_attention
+        from multimae_tpu.parallel.mesh import bnhd_shard_map
+
+        core = bnhd_shard_map(
+            lambda qq, kk, vv: short_attention(qq, kk, vv, sm_scale),
+            tp_scoped=tp_scoped,
+        )
+        return core(q, k, v)
     if _use_flash_bnhd(q, k):
         out = flash_attention_padded(
             jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),

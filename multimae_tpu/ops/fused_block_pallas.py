@@ -61,7 +61,14 @@ def enabled() -> bool:
 
     return (
         os.environ.get("MULTIMAE_TPU_NO_FUSED_BLOCK") != "1"
-        and constraint_model_size() == 1  # TP meshes take the XLA path
+        # TP meshes take the XLA path: this kernel IS the TP scope (an
+        # encoder block), and its fusion spans both Megatron psum points
+        # (after attn-proj AND after fc2 — the proj output feeds LN2
+        # in-kernel). Head-sharding it would need an in-kernel psum,
+        # i.e. splitting the block into two programs, which forfeits the
+        # VMEM-residency win the kernel exists for. short_attention (no
+        # collective inside) is the TP-compatible kernel instead.
+        and constraint_model_size() == 1
         and jax.default_backend() == "tpu"
     )
 

@@ -281,13 +281,20 @@ short_attention.defvjp(_short_attention_fwd, _short_attention_bwd)
 
 
 def supported(q, k) -> bool:
-    """Shapes this kernel handles: sequences where the per-head backward's
-    three fp32 (Nq, Nk) tiles fit the 100 MB VMEM budget (with headroom
-    for the double-buffered IO blocks). BNHD layout. Covers every shape
-    this model family uses up to ~2500 tokens (512px rgb+depth = 2049);
-    longer falls back to XLA dense."""
+    """Shapes this kernel handles: sequences where the per-head
+    backward's three fp32 (Nq, Nk) tiles PLUS its seven double-buffered
+    IO blocks (q, k, v, do, dq, dk, dv at the actual Nq/Nk/lane-padded
+    d) fit the 100 MB VMEM budget with an explicit 12 MB slack for
+    in-kernel copies/scheduling. BNHD layout. Covers every shape this
+    model family uses up to ~2500 tokens (512px rgb+depth = 2049, which
+    totals ~65 MB); oversized falls back to XLA dense instead of a
+    Mosaic VMEM-exhaustion compile error."""
     b, nq, h, d = q.shape
     nk = k.shape[1]
     if d > 256:
         return False
-    return nq * _lane_pad(nk) * 4 * 3 <= 85 * 1024 * 1024
+    lanes = _lane_pad(d)
+    itemsize = jnp.dtype(q.dtype).itemsize
+    io = (4 * nq + 3 * nk) * lanes * itemsize * 2  # 7 blocks, x2 buffers
+    f32 = 3 * nq * _lane_pad(nk) * 4
+    return f32 + io <= _VMEM_LIMIT - 12 * 1024 * 1024

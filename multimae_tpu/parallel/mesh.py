@@ -180,6 +180,33 @@ def data_shard_map(fn, n_data_args: int = 2):
     )
 
 
+def bnhd_shard_map(fn, tp_scoped: bool = False):
+    """shard_map for per-(sample, head)-independent BNHD attention
+    kernels (ops/short_attention_pallas): batch over 'data' and — for
+    TP-scoped call sites where q/k/v heads are 'model'-sharded
+    (Megatron, constrain_tp) — heads over 'model'. Attention is
+    embarrassingly parallel over (sample, head), so the kernel needs no
+    collective either way; without this wrapper GSPMD would replicate
+    the opaque custom call and gather the global batch onto every chip
+    (SCALING.md rule 3). Identity when no multi-device mesh is
+    registered. Non-TP-scoped sites under a 2-D mesh replicate over
+    'model' (same as the XLA path: no weight there is model-sharded)."""
+    if _CONSTRAINT_MESH is None:
+        return fn
+    nd = constraint_data_size()
+    nm = constraint_model_size() if tp_scoped else 1
+    if nd <= 1 and nm <= 1:
+        return fn
+    from jax import shard_map
+
+    spec = P(DATA_AXIS if nd > 1 else None, None,
+             MODEL_AXIS if nm > 1 else None, None)
+    return shard_map(
+        fn, mesh=_CONSTRAINT_MESH,
+        in_specs=(spec, spec, spec), out_specs=spec, check_vma=False,
+    )
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -212,10 +239,57 @@ def local_batch_slice(global_batch: int) -> slice:
     return slice(start, start + per_host)
 
 
+_DIST_INITIALIZED = False
+
+
 def initialize_distributed():
-    """Multi-host init (no-op single-host). Mirrors
-    utils/dist.py:62-93's rank bootstrap, TPU-style."""
+    """Multi-host init (no-op single-host). Mirrors the reference's rank
+    bootstrap (utils/dist.py:62-93: env://, OpenMPI-on-ITP, SLURM) —
+    every launcher the reference discovers resolves here to ONE
+    `jax.distributed.initialize()` call; all collectives thereafter are
+    GSPMD-inserted over ICI/DCN (no user-level comm code).
+
+    Launchers recognized:
+      * env:// equivalent — `JAX_COORDINATOR_ADDRESS` (+
+        `JAX_NUM_PROCESSES`/`JAX_PROCESS_ID`), the TPU-pod standard.
+      * reference `--dist_on_itp` — OpenMPI ranks + explicit
+        MASTER_ADDR/MASTER_PORT (utils/dist.py:62-70).
+      * SLURM (`SLURM_PROCID` et al., utils/dist.py:75-77) and
+        mpirun/mpiexec (`OMPI_MCA_orte_hnp_uri`) — via jax's built-in
+        cluster auto-detection.
+    Anything else: single-process ("Not using distributed mode").
+
+    Must run before any other jax API touches the backend.
+    """
+    global _DIST_INITIALIZED
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    if _DIST_INITIALIZED:
+        return
+    env = os.environ
+    slurm_vars = ("SLURM_JOB_ID", "SLURM_STEP_NODELIST", "SLURM_NTASKS",
+                  "SLURM_PROCID", "SLURM_LOCALID")
+    if env.get("JAX_COORDINATOR_ADDRESS"):
+        # jax reads the address itself but (as of 0.9) NOT the process
+        # count/id env vars — pass them through when present, else leave
+        # them to cluster auto-detection (e.g. TPU pod metadata).
+        nproc = env.get("JAX_NUM_PROCESSES")
+        pid = env.get("JAX_PROCESS_ID")
+        jax.distributed.initialize(
+            num_processes=int(nproc) if nproc else None,
+            process_id=int(pid) if pid else None,
+        )
+    elif (env.get("OMPI_COMM_WORLD_RANK")
+          and env.get("MASTER_ADDR") and env.get("MASTER_PORT")):
+        jax.distributed.initialize(
+            coordinator_address=f"{env['MASTER_ADDR']}:{env['MASTER_PORT']}",
+            num_processes=int(env["OMPI_COMM_WORLD_SIZE"]),
+            process_id=int(env["OMPI_COMM_WORLD_RANK"]),
+        )
+    elif all(v in env for v in slurm_vars) and int(env["SLURM_NTASKS"]) > 1:
+        jax.distributed.initialize()  # jax SlurmCluster discovery
+    elif env.get("OMPI_MCA_orte_hnp_uri"):
+        jax.distributed.initialize()  # jax OmpiCluster (mpirun/mpiexec)
+    else:
+        return
+    _DIST_INITIALIZED = True

@@ -69,8 +69,14 @@ def setup():
     return model, params, x
 
 
-def test_eval_forward_matches_module_path(setup, monkeypatch):
-    model, params, x = setup
+def test_eval_forward_matches_module_path(monkeypatch):
+    # bf16: the only dtype the fused gate admits (the kernel's GELU is
+    # the tanh-basis polynomial, which IS the bf16 module path's GELU —
+    # fp32 keeps exact erf and must stay on the module path, below).
+    model = build(jnp.bfloat16)
+    x = {"rgb": jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))}
+    params = model.init({"params": jax.random.PRNGKey(1)}, x, train=False)[
+        "params"]
     base = model.apply({"params": params}, x, train=False)["cls"]
     calls = []
     orig = fbp.fused_block_infer
@@ -83,9 +89,29 @@ def test_eval_forward_matches_module_path(setup, monkeypatch):
     with force_interpret():
         fused = model.apply({"params": params}, x, train=False)["cls"]
     assert len(calls) == 2, "fused block did not engage on both encoder blocks"
+    # bf16 activations: kernel and module agree up to bf16 rounding of
+    # intermediates (both do LN/softmax in fp32).
     np.testing.assert_allclose(
-        np.asarray(fused), np.asarray(base), rtol=2e-5, atol=2e-5
+        np.asarray(fused, np.float32), np.asarray(base, np.float32),
+        rtol=3e-2, atol=3e-2,
     )
+
+
+def test_fp32_eval_stays_on_module_path(setup, monkeypatch):
+    """fp32 eval keeps jax.nn.gelu's exact erf (golden-parity contract):
+    the fused kernel (polynomial GELU) must NOT engage."""
+    model, params, x = setup
+    calls = []
+    orig = fbp.fused_block_infer
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fbp, "fused_block_infer", spy)
+    with force_interpret():
+        model.apply({"params": params}, x, train=False)["cls"]
+    assert len(calls) == 0, "fused block must not engage on fp32 models"
 
 
 def test_train_path_unaffected_and_differentiable(setup):
@@ -152,18 +178,29 @@ def test_tiled_kernel_matches_one_shot(monkeypatch):
 
 def test_tiled_kernel_matches_module_forward(monkeypatch):
     """Full MultiViT eval forward with every block forced onto the
-    q-tiled kernel matches the plain module path."""
-    model, params, x = build(), None, None
+    q-tiled kernel matches the plain module path (bf16: the only dtype
+    the gate admits)."""
+    model = build(jnp.bfloat16)
     xin = {"rgb": jax.random.normal(jax.random.PRNGKey(9), (2, 64, 64, 3))}
     params = model.init({"params": jax.random.PRNGKey(8)}, xin, train=False)[
         "params"]
     base = model.apply({"params": params}, xin, train=False)["cls"]
+    calls = []
+    orig = fbp.fused_block_infer
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fbp, "fused_block_infer", spy)
     monkeypatch.setattr(fbp, "_Q_TILE", 8)  # (17 tokens -> tiles 8, 8, 1)
     monkeypatch.setattr(fbp, "_one_shot_fits", lambda *a: False)
     with force_interpret():
         fused = model.apply({"params": params}, xin, train=False)["cls"]
+    assert len(calls) == 2
     np.testing.assert_allclose(
-        np.asarray(fused), np.asarray(base), rtol=2e-5, atol=2e-5
+        np.asarray(fused, np.float32), np.asarray(base, np.float32),
+        rtol=3e-2, atol=3e-2,
     )
 
 
@@ -176,7 +213,7 @@ def test_eval_under_data_mesh_matches_unsharded():
 
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
-    model = build()
+    model = build(jnp.bfloat16)
     x = {"rgb": jax.random.normal(jax.random.PRNGKey(3), (16, 64, 64, 3))}
     params = model.init({"params": jax.random.PRNGKey(4)}, x, train=False)[
         "params"]

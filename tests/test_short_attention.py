@@ -156,3 +156,61 @@ def test_lightres_bf16_close():
         np.asarray(g_new, np.float32), np.asarray(g_ref, np.float32),
         atol=5e-2, rtol=5e-2,
     )
+
+
+def test_tp_head_sharded_kernel_matches_unsharded():
+    """TP seam (parallel/mesh.bnhd_shard_map): the kernel run on local
+    (batch, head) slices under a (data=4, model=2) mesh must reproduce
+    the unsharded kernel — attention is independent per (sample, head),
+    so head sharding needs no collective."""
+    from multimae_tpu.parallel.mesh import (
+        bnhd_shard_map,
+        create_mesh,
+        use_constraint_mesh,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    q, k, v = _qkv((8, 99, 99, 12, 64), jnp.float32, seed=3)
+    scale = 64 ** -0.5
+    base = short_attention(q, k, v, scale)
+    mesh = create_mesh(data=4, model=2)
+    use_constraint_mesh(mesh)
+    try:
+        core = bnhd_shard_map(
+            lambda qq, kk, vv: short_attention(qq, kk, vv, scale),
+            tp_scoped=True,
+        )
+        out = jax.jit(core)(q, k, v)
+    finally:
+        use_constraint_mesh(None)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(base), atol=1e-6, rtol=1e-6
+    )
+
+
+def test_use_short_kernel_gate_mesh_rules(monkeypatch):
+    """Dispatch gate under meshes: TP sites shard heads over 'model'
+    (divisibility required), non-TP sites only need the batch to split
+    over 'data'."""
+    from multimae_tpu.ops import attention as attn
+    from multimae_tpu.parallel.mesh import create_mesh, use_constraint_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    monkeypatch.setattr(attn.jax, "default_backend", lambda: "tpu")
+    mesh = create_mesh(data=4, model=2)
+    use_constraint_mesh(mesh)
+    try:
+        q = jnp.zeros((8, 1025, 12, 64), jnp.bfloat16)
+        assert attn._use_short_kernel(q, q, tp_scoped=True)
+        assert attn._use_short_kernel(q, q, tp_scoped=False)
+        # heads not divisible by model size -> TP site falls back
+        q_odd_h = jnp.zeros((8, 1025, 11, 64), jnp.bfloat16)
+        assert not attn._use_short_kernel(q_odd_h, q_odd_h, tp_scoped=True)
+        assert attn._use_short_kernel(q_odd_h, q_odd_h, tp_scoped=False)
+        # batch not divisible by data size -> off everywhere
+        q_odd_b = jnp.zeros((6, 1025, 12, 64), jnp.bfloat16)
+        assert not attn._use_short_kernel(q_odd_b, q_odd_b, tp_scoped=False)
+    finally:
+        use_constraint_mesh(None)
