@@ -291,7 +291,18 @@ class SpatialOutputAdapter(nn.Module):
             data_shard_map,
         )
 
-        if self._fused_core_ok() and queries.shape[0] % constraint_data_size() == 0:
+        from multimae_tpu.ops import fused_decoder_pallas as _fdp
+
+        if (
+            self._fused_core_ok()
+            and queries.shape[0] % constraint_data_size() == 0
+            # VMEM-fit gate: oversized shapes (large input_size) fall
+            # back to the module path instead of a Mosaic compile error.
+            and _fdp.supported(
+                queries.shape[1], context.shape[1], self.dim_tokens,
+                self.num_heads, self.depth, self.dtype, self.mlp_ratio,
+            )
+        ):
             # TPU hot path: the whole xattn + MLP + transformer stack as
             # one VMEM-resident Pallas program (ops/fused_decoder_pallas),
             # shard_mapped over the data axis under a multi-chip mesh

@@ -72,13 +72,72 @@ def set_force_mode(mode):
 def enabled() -> bool:
     if _FORCE_MODE is not None:
         return True
-    from multimae_tpu.parallel.mesh import constraint_model_size
-
+    # model>1 TP meshes: the pretrain decoders live OUTSIDE the TP
+    # scopes (TP_SCOPE_RE = encoder blocks), so their operands are
+    # replicated over 'model' and data_shard_map replicates the kernel
+    # there too — identical redundancy to the XLA path it replaces.
     return (
         os.environ.get("MULTIMAE_TPU_NO_FUSED_DECODER") != "1"
-        and constraint_model_size() == 1  # TP meshes take the XLA path
         and jax.default_backend() == "tpu"
     )
+
+
+def supported(nq: int, nc: int, dim: int, heads: int, depth: int, dtype,
+              mlp_ratio: float = 4.0, ns: int = 1) -> bool:
+    """VMEM-fit estimate for the backward (recompute) kernel — the
+    heavier of the two programs — at `ns` samples per program. It
+    recomputes the whole forward and holds: the per-head fp32 probs
+    (1 xattn + `depth` self-attn sets), ~20 activation slabs, the
+    weights in compute dtype PLUS fp32 grad accumulators, and the
+    double-buffered IO blocks. Everything except the weights scales
+    with ns. Oversized shapes (e.g. 512px pretraining, Nq~1024/decoder)
+    must fall back to the XLA module path instead of dying with a
+    Mosaic VMEM-exhaustion compile error."""
+    bpe = jnp.dtype(dtype).itemsize
+    f32 = 4
+    hidden = int(dim * mlp_ratio)
+    # fp32 softmax probabilities, all heads, all attention sites
+    probs = heads * nq * (nc + depth * nq) * f32
+    # activation slabs recorded by _core_fwd(save=...): dtype slabs +
+    # fp32 xhat/LN-stat slabs (counted from the rec() calls)
+    xattn_act = ((8 * nq + 3 * nc) * dim + 2 * nq * hidden) * bpe \
+        + (2 * nq + nc) * dim * f32
+    blk_act = (10 * nq * dim + 2 * nq * hidden) * bpe \
+        + 2 * nq * dim * f32
+    acts = xattn_act + depth * blk_act
+    # weights (compute dtype) + fp32 dW accumulator blocks; per region
+    # the big tensors sum to ~(4 + 2*mlp_ratio) * dim^2
+    w_elems = int((4 + 2 * mlp_ratio) * dim * dim) * (1 + depth)
+    weights = w_elems * (bpe + f32)
+    # double-buffered IO: q/g/dq tiles + c/dc tiles
+    io = (3 * nq + 2 * nc) * dim * bpe * 2
+    est = ns * (probs + acts + io) + weights
+    # 1.4x headroom for in-flight temporaries (per-head fp32 dp/ds
+    # tiles, qkv/concat buffers, scheduler slack). The shipped 224px
+    # pretrain shape (nq=196, nc=99, dim=256, h=8, depth=2, bf16)
+    # estimates ~25 MB at ns=1 — comfortably inside the 100 MB budget
+    # it is measured to compile in.
+    return est * 1.4 <= _VMEM_LIMIT
+
+
+def pick_ns(b: int, nq: int, nc: int, dim: int, heads: int, depth: int,
+            dtype, mlp_ratio: float = 4.0) -> int:
+    """Samples per program. Every dense GEMM in the kernel runs at
+    M = ns*nq; attention stays per-sample (static row slices).
+
+    MEASURED DEAD END at the shipped 224px pretrain shape (nq=196,
+    nc=99, d=256, B=128, v5e, 2026-08-18): ns=1 benches 1150.5
+    samples/s/chip vs 1116 at ns=2 and 1123 at ns=4 — the wider GEMMs
+    don't pay for the unaligned (196-row, non-sublane-tile) per-sample
+    attention slices and the lost cross-program pipelining (B/ns
+    programs overlap compute with IO; fewer, fatter programs overlap
+    less). Default is therefore 1; MULTIMAE_TPU_DECODER_NS forces a
+    value (must divide the per-device batch and fit `supported(ns=)`)
+    for A/B runs at other shapes."""
+    forced = os.environ.get("MULTIMAE_TPU_DECODER_NS")
+    if forced:
+        return int(forced)
+    return 1
 
 
 class DecoderCoreWeights(NamedTuple):
@@ -278,16 +337,20 @@ def _attend_fwd(q, k, v, scale, dtype):
     return o.astype(dtype), p
 
 
-def _mha_fwd(q2d, k2d, v2d, bt, nq, nc, heads, dh, scale, dtype):
+def _mha_fwd(q2d, k2d, v2d, bt, nq, nc, heads, dh, scale, dtype,
+             inkernel=False):
     """Multi-head attention on 2-D activation slabs.
 
     Heads live in the lane dimension of the fused qkv GEMM output, and
     Mosaic cannot shape-cast a lane split (256 -> 8x32), so each head is
-    a 32-lane slice. In-kernel (bt == 1) everything stays rank-2 —
-    Mosaic also rejects sublane splits at non-tile-aligned token counts
-    like (bt*99, dh) -> (bt, 99, dh) — while the CPU/XLA reference path
-    (bt > 1) batches samples with reshapes. Returns the merged
-    (bt*nq, heads*dh) output and the per-head fp32 probs list.
+    a 32-lane slice. In-kernel everything stays rank-2 — Mosaic also
+    rejects sublane splits at non-tile-aligned token counts like
+    (bt*99, dh) -> (bt, 99, dh) — so with bt > 1 samples per program
+    (the GEMM M-widening mode) each sample is a static ROW slice and
+    attention runs per (head, sample). The CPU/XLA reference path
+    (inkernel=False, bt > 1) batches samples with rank-3 reshapes
+    instead. Returns the merged (bt*nq, heads*dh) output and the fp32
+    probs list (one entry per head, or per (head, sample) in-kernel).
     """
     outs, probs = [], []
     for h in range(heads):
@@ -296,17 +359,29 @@ def _mha_fwd(q2d, k2d, v2d, bt, nq, nc, heads, dh, scale, dtype):
             o, p = _attend_fwd_2d(q2d[:, sl], k2d[:, sl], v2d[:, sl],
                                   scale, dtype)
             outs.append(o)
+            probs.append(p)
+        elif inkernel:
+            os_ = []
+            for s in range(bt):
+                o, p = _attend_fwd_2d(
+                    q2d[s * nq:(s + 1) * nq, sl],
+                    k2d[s * nc:(s + 1) * nc, sl],
+                    v2d[s * nc:(s + 1) * nc, sl], scale, dtype)
+                os_.append(o)
+                probs.append(p)
+            outs.append(jnp.concatenate(os_, axis=0))
         else:
             o, p = _attend_fwd(
                 q2d[:, sl].reshape(bt, nq, dh),
                 k2d[:, sl].reshape(bt, nc, dh),
                 v2d[:, sl].reshape(bt, nc, dh), scale, dtype)
             outs.append(o.reshape(bt * nq, dh))
-        probs.append(p)
+            probs.append(p)
     return jnp.concatenate(outs, axis=1), probs
 
 
-def _mha_bwd(q2d, k2d, v2d, probs, da2d, bt, nq, nc, heads, dh, scale):
+def _mha_bwd(q2d, k2d, v2d, probs, da2d, bt, nq, nc, heads, dh, scale,
+             inkernel=False):
     """Gradients of _mha_fwd; returns (dq2d, dk2d, dv2d)."""
     dqs, dks, dvs = [], [], []
     for h in range(heads):
@@ -316,6 +391,19 @@ def _mha_bwd(q2d, k2d, v2d, probs, da2d, bt, nq, nc, heads, dh, scale):
                 q2d[:, sl], k2d[:, sl], v2d[:, sl], probs[h], da2d[:, sl],
                 scale)
             dqs.append(dq); dks.append(dk); dvs.append(dv)
+        elif inkernel:
+            dqs_, dks_, dvs_ = [], [], []
+            for s in range(bt):
+                dq, dk, dv = _attend_bwd_2d(
+                    q2d[s * nq:(s + 1) * nq, sl],
+                    k2d[s * nc:(s + 1) * nc, sl],
+                    v2d[s * nc:(s + 1) * nc, sl],
+                    probs[h * bt + s],
+                    da2d[s * nq:(s + 1) * nq, sl], scale)
+                dqs_.append(dq); dks_.append(dk); dvs_.append(dv)
+            dqs.append(jnp.concatenate(dqs_, axis=0))
+            dks.append(jnp.concatenate(dks_, axis=0))
+            dvs.append(jnp.concatenate(dvs_, axis=0))
         else:
             dq, dk, dv = _attend_bwd(
                 q2d[:, sl].reshape(bt, nq, dh),
@@ -382,7 +470,7 @@ def _attend_bwd(q, k, v, p, do, scale):
 
 
 def _core_fwd(q2d, c2d, w: DecoderCoreWeights, *, nq, nc, heads, depth,
-              dtype, save=None):
+              dtype, save=None, inkernel=False):
     """Shared forward math on 2-D slabs: q2d (bt*nq, d), c2d (bt*nc, d).
 
     Inside the kernels bt == 1 (rank-2 everywhere — see _mha_fwd); the
@@ -410,7 +498,8 @@ def _core_fwd(q2d, c2d, w: DecoderCoreWeights, *, nq, nc, heads, depth,
     kv = _dense(cn, w.wkv, w.bkv)
     k, v = kv[:, :d], kv[:, d:]
     rec("xq", q); rec("xk", k); rec("xv", v)
-    a, xp = _mha_fwd(q, k, v, bt, nq, nc, heads, dh, scale, dtype)
+    a, xp = _mha_fwd(q, k, v, bt, nq, nc, heads, dh, scale, dtype,
+                     inkernel=inkernel)
     rec("xprobs", xp)
     rec("xa_in", a)
     x = _dense(a, w.wxp, w.bxp)
@@ -432,7 +521,8 @@ def _core_fwd(q2d, c2d, w: DecoderCoreWeights, *, nq, nc, heads, depth,
         qkv = _dense(n1, w.wqkv[i], w.bqkv[i])
         sq, sk, sv = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
         rec(f"b{i}_q", sq); rec(f"b{i}_k", sk); rec(f"b{i}_v", sv)
-        a, sp = _mha_fwd(sq, sk, sv, bt, nq, nq, heads, dh, scale, dtype)
+        a, sp = _mha_fwd(sq, sk, sv, bt, nq, nq, heads, dh, scale,
+                         dtype, inkernel=inkernel)
         rec(f"b{i}_probs", sp)
         rec(f"b{i}_a", a)
         x = x + _dense(a, w.wp[i], w.bp[i])
@@ -449,7 +539,7 @@ def _core_fwd(q2d, c2d, w: DecoderCoreWeights, *, nq, nc, heads, depth,
 
 
 def _core_bwd(q2d, c2d, w: DecoderCoreWeights, g2d, *, nq, nc, heads,
-              depth, dtype):
+              depth, dtype, inkernel=False):
     """Recompute-forward backward on 2-D slabs. Returns (dq2d, dc2d, dW)
     with dW entries fp32 in DecoderCoreWeights order."""
     d = q2d.shape[1]
@@ -459,7 +549,7 @@ def _core_bwd(q2d, c2d, w: DecoderCoreWeights, g2d, *, nq, nc, heads,
 
     s = {}
     _core_fwd(q2d, c2d, w, nq=nq, nc=nc, heads=heads, depth=depth,
-              dtype=dtype, save=s)
+              dtype=dtype, save=s, inkernel=inkernel)
 
     dW = {}
     # Per-block grads: each block contributes exactly once, so collect
@@ -484,7 +574,7 @@ def _core_bwd(q2d, c2d, w: DecoderCoreWeights, g2d, *, nq, nc, heads,
         da, blk["wp"][i], blk["bp"][i] = _dense_bwd(s[f"b{i}_a"], w.wp[i], g)
         dsq, dsk, dsv = _mha_bwd(
             s[f"b{i}_q"], s[f"b{i}_k"], s[f"b{i}_v"], s[f"b{i}_probs"],
-            da, bt, nq, nq, heads, dh, scale)
+            da, bt, nq, nq, heads, dh, scale, inkernel=inkernel)
         dqkv = jnp.concatenate([dsq, dsk, dsv], axis=1)
         dn1, blk["wqkv"][i], blk["bqkv"][i] = _dense_bwd(
             s[f"b{i}_n1"], w.wqkv[i], dqkv)
@@ -506,7 +596,8 @@ def _core_bwd(q2d, c2d, w: DecoderCoreWeights, g2d, *, nq, nc, heads,
     # x_attn = proj(xattn(q(qn), kv(cn)))
     da, dW["wxp"], dW["bxp"] = _dense_bwd(s["xa_in"], w.wxp, g)
     dq, dk_, dv_ = _mha_bwd(s["xq"], s["xk"], s["xv"], s["xprobs"], da,
-                            bt, nq, nc, heads, dh, scale)
+                            bt, nq, nc, heads, dh, scale,
+                            inkernel=inkernel)
     dkv = jnp.concatenate([dk_, dv_], axis=1)
     dqn, dW["wq"], dW["bq"] = _dense_bwd(s["qn"], w.wq, dq)
     dcn, dW["wkv"], dW["bkv"] = _dense_bwd(s["cn"], w.wkv, dkv)
@@ -537,23 +628,20 @@ def decoder_core_ref(queries, context, w: DecoderCoreWeights, *, heads,
 # ------------------------------------------------------------ kernels --
 
 
-def _fwd_kernel(q_ref, c_ref, *rest, heads, depth, dtype):
+def _fwd_kernel(q_ref, c_ref, *rest, heads, depth, dtype, nq, nc):
     w = DecoderCoreWeights(*(r[...] for r in rest[:-1]))
     o_ref = rest[-1]
-    nq, d = q_ref.shape[1], q_ref.shape[2]
-    nc = c_ref.shape[1]
     o_ref[0] = _core_fwd(q_ref[0], c_ref[0], w, nq=nq, nc=nc, heads=heads,
-                         depth=depth, dtype=dtype)
+                         depth=depth, dtype=dtype, inkernel=True)
 
 
-def _bwd_kernel(q_ref, c_ref, g_ref, *rest, heads, depth, dtype):
+def _bwd_kernel(q_ref, c_ref, g_ref, *rest, heads, depth, dtype, nq, nc):
     w = DecoderCoreWeights(*(r[...] for r in rest[:28]))
     dq_ref, dc_ref = rest[28], rest[29]
     dw_refs = rest[30:]
-    nq, d = q_ref.shape[1], q_ref.shape[2]
-    nc = c_ref.shape[1]
     dq, dc, dW = _core_bwd(q_ref[0], c_ref[0], w, g_ref[0], nq=nq, nc=nc,
-                           heads=heads, depth=depth, dtype=dtype)
+                           heads=heads, depth=depth, dtype=dtype,
+                           inkernel=True)
     dq_ref[0] = dq
     dc_ref[0] = dc
     # Weight-grad accumulation across the (sequential) batch grid: the
@@ -590,42 +678,57 @@ def _fwd_call(queries, context, wc: DecoderCoreWeights, *, heads, depth,
               dtype):
     b, nq, d = queries.shape
     nc = context.shape[1]
+    ns = pick_ns(b, nq, nc, d, heads, depth, dtype,
+                 mlp_ratio=wc.w1.shape[1] / d)
+    # GEMM M-widening: ns samples per program. The host-side reshape of
+    # a contiguous (b, n, d) array to (b/ns, ns*n, d) is a free view;
+    # inside the kernel every dense GEMM runs at M = ns*n while
+    # attention walks per-sample row slices (_mha_fwd inkernel path).
+    q = queries.reshape(b // ns, ns * nq, d)
+    c = context.reshape(b // ns, ns * nc, d)
     w_specs = [_full_spec(t.shape) for t in wc]
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, heads=heads, depth=depth,
-                          dtype=dtype),
-        grid=(b,),
-        in_specs=[_tile_spec((1, nq, d)), _tile_spec((1, nc, d))] + w_specs,
-        out_specs=_tile_spec((1, nq, d)),
-        out_shape=jax.ShapeDtypeStruct((b, nq, d), dtype),
+                          dtype=dtype, nq=nq, nc=nc),
+        grid=(b // ns,),
+        in_specs=[_tile_spec((1, ns * nq, d)), _tile_spec((1, ns * nc, d))]
+        + w_specs,
+        out_specs=_tile_spec((1, ns * nq, d)),
+        out_shape=jax.ShapeDtypeStruct((b // ns, ns * nq, d), dtype),
         compiler_params=_PARAMS,
         interpret=_interpret(),
-    )(queries, context, *wc)
+    )(q, c, *wc)
+    return out.reshape(b, nq, d)
 
 
 def _bwd_call(queries, context, g, wc: DecoderCoreWeights, *, heads,
               depth, dtype):
     b, nq, d = queries.shape
     nc = context.shape[1]
+    ns = pick_ns(b, nq, nc, d, heads, depth, dtype,
+                 mlp_ratio=wc.w1.shape[1] / d)
+    q2 = queries.reshape(b // ns, ns * nq, d)
+    c2 = context.reshape(b // ns, ns * nc, d)
+    g2 = g.reshape(b // ns, ns * nq, d)
     w_specs = [_full_spec(t.shape) for t in wc]
     dw_specs = [_full_spec(t.shape) for t in wc]
     dw_shapes = [jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in wc]
     out = pl.pallas_call(
         functools.partial(_bwd_kernel, heads=heads, depth=depth,
-                          dtype=dtype),
-        grid=(b,),
-        in_specs=[_tile_spec((1, nq, d)), _tile_spec((1, nc, d)),
-                  _tile_spec((1, nq, d))] + w_specs,
-        out_specs=[_tile_spec((1, nq, d)), _tile_spec((1, nc, d))]
+                          dtype=dtype, nq=nq, nc=nc),
+        grid=(b // ns,),
+        in_specs=[_tile_spec((1, ns * nq, d)), _tile_spec((1, ns * nc, d)),
+                  _tile_spec((1, ns * nq, d))] + w_specs,
+        out_specs=[_tile_spec((1, ns * nq, d)), _tile_spec((1, ns * nc, d))]
         + dw_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((b, nq, d), dtype),
-            jax.ShapeDtypeStruct((b, nc, d), dtype),
+            jax.ShapeDtypeStruct((b // ns, ns * nq, d), dtype),
+            jax.ShapeDtypeStruct((b // ns, ns * nc, d), dtype),
         ] + dw_shapes,
         compiler_params=_PARAMS,
         interpret=_interpret(),
-    )(queries, context, g, *wc)
-    dq, dc = out[0], out[1]
+    )(q2, c2, g2, *wc)
+    dq, dc = out[0].reshape(b, nq, d), out[1].reshape(b, nc, d)
     return dq, dc, DecoderCoreWeights(*out[2:])
 
 

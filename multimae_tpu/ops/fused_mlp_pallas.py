@@ -60,11 +60,12 @@ def _interpret() -> bool:
 def enabled() -> bool:
     if _FORCE_MODE is not None:
         return True
-    from multimae_tpu.parallel.mesh import constraint_model_size
-
+    # model>1 TP meshes: this kernel lives OUTSIDE the TP scopes
+    # (TP_SCOPE_RE = encoder blocks), so its operands are replicated
+    # over 'model' and data_shard_map replicates the kernel there too —
+    # identical redundancy to the XLA path, same per-chip win.
     return (
         os.environ.get("MULTIMAE_TPU_NO_FUSED_MLP") != "1"
-        and constraint_model_size() == 1  # TP meshes take the XLA path
         and jax.default_backend() == "tpu"
     )
 

@@ -170,3 +170,36 @@ def test_depth1_and_odd_batch():
         np.testing.assert_allclose(
             np.asarray(fused[t]), np.asarray(base[t]), rtol=2e-4, atol=2e-4,
         )
+
+
+@pytest.mark.parametrize("ns", [2, 4])
+def test_ns_widening_matches_ns1(setup, monkeypatch, ns):
+    """GEMM M-widening (ns samples per program, pick_ns) must reproduce
+    the per-sample kernel up to fp32 accumulation-order noise from the
+    different GEMM M-dims."""
+    model, params, _ = setup
+    batch = make_batch(b=4)
+    monkeypatch.setenv("MULTIMAE_TPU_DECODER_NS", "1")
+    base_f = run_fwd(model, params, batch, "interpret")
+    base_g = run_grads(model, params, batch, "interpret")
+    monkeypatch.setenv("MULTIMAE_TPU_DECODER_NS", str(ns))
+    wide_f = run_fwd(model, params, batch, "interpret")
+    wide_g = run_grads(model, params, batch, "interpret")
+    for t in base_f:
+        np.testing.assert_allclose(
+            np.asarray(wide_f[t]), np.asarray(base_f[t]),
+            rtol=1e-4, atol=1e-4, err_msg=f"task {t} ns={ns}",
+        )
+    assert_trees_close(wide_g, base_g, rtol=1e-3, atol=1e-3)
+
+
+def test_pick_ns_policy(monkeypatch):
+    # Default is per-sample (ns=1): M-widening measured SLOWER at the
+    # 224px pretrain shape (see pick_ns docstring).
+    monkeypatch.delenv("MULTIMAE_TPU_DECODER_NS", raising=False)
+    assert fdp.pick_ns(128, 196, 99, 256, 8, 2, jnp.bfloat16) == 1
+    # the VMEM estimator still understands ns (used for forced A/Bs)
+    assert fdp.supported(196, 99, 256, 8, 2, jnp.bfloat16, ns=4)
+    assert not fdp.supported(196, 99, 256, 8, 2, jnp.bfloat16, ns=16)
+    monkeypatch.setenv("MULTIMAE_TPU_DECODER_NS", "2")
+    assert fdp.pick_ns(128, 196, 99, 256, 8, 2, jnp.bfloat16) == 2
