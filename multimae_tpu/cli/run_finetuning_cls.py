@@ -99,7 +99,12 @@ def get_args(argv=None):
     parser.set_defaults(save_ckpt=True)
     parser.add_argument("--start_epoch", default=0, type=int)
     parser.add_argument("--eval", action="store_true")
-    parser.add_argument("--dist_eval", action="store_true", default=False)
+    parser.add_argument(
+        "--dist_eval", action="store_true", default=False,
+        help="Accepted for reference-recipe parity; eval here is ALWAYS "
+             "process-sharded with exact partial-batch accounting and "
+             "cross-process metric reduction (no duplicate-padding bias), "
+             "so this flag changes nothing.")
     parser.add_argument("--no_dist_eval", action="store_false", dest="dist_eval")
     parser.set_defaults(dist_eval=False)
     parser.add_argument("--num_workers", default=10, type=int)
@@ -167,10 +172,16 @@ def build_cls_model(args, dtype):
 
 
 def evaluate(eval_step, params, loader, n_batches=None):
-    """top-1/5 over an eval loader (reference run_finetuning_cls.py:580-613)."""
+    """top-1/5 over an eval loader (reference run_finetuning_cls.py:580-613).
+
+    Distributed eval (the reference's --dist_eval,
+    run_finetuning_cls.py:391-398): the loader is always process-sharded
+    (grain ShardOptions), so each process scores its shard and the
+    weighted sums are reduced across processes — exact, with none of the
+    reference sampler's duplicate-entry padding bias."""
     import numpy as np
 
-    from multimae_tpu.utils.metrics import accuracy
+    from multimae_tpu.utils.metrics import accuracy, sum_across_processes
 
     top1s, top5s, count = [], [], 0
     for i, item in enumerate(loader):
@@ -186,9 +197,12 @@ def evaluate(eval_step, params, loader, n_batches=None):
         top1s.append(float(t1) * n_valid)
         top5s.append(float(t5) * n_valid)
         count += n_valid
+    t1_sum, t5_sum, count = sum_across_processes(
+        np.asarray([sum(top1s), sum(top5s), float(count)], np.float64)
+    )
     return {
-        "acc1": sum(top1s) / max(count, 1),
-        "acc5": sum(top5s) / max(count, 1),
+        "acc1": t1_sum / max(count, 1),
+        "acc5": t5_sum / max(count, 1),
     }
 
 

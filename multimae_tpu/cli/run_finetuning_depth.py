@@ -95,7 +95,12 @@ def get_args(argv=None):
     parser.add_argument("--start_epoch", default=0, type=int)
     parser.add_argument("--eval", action="store_true")
     parser.add_argument("--test", action="store_true")
-    parser.add_argument("--dist_eval", action="store_true", default=False)
+    parser.add_argument(
+        "--dist_eval", action="store_true", default=False,
+        help="Accepted for reference-recipe parity; eval here is ALWAYS "
+             "process-sharded with exact partial-batch accounting and "
+             "cross-process metric reduction (no duplicate-padding bias), "
+             "so this flag changes nothing.")
     parser.add_argument("--num_workers", default=16, type=int)
     parser.add_argument("--pin_mem", action="store_true")
     parser.add_argument("--no_pin_mem", action="store_false", dest="pin_mem")
@@ -359,6 +364,15 @@ def main(args):
             count += bs
             for k, v in m.items():
                 sums[k] = sums.get(k, 0.0) + float(v) * bs
+        # Distributed eval (reference --dist_eval): the loader is
+        # process-sharded, reduce weighted sums + count across processes.
+        from multimae_tpu.utils.metrics import sum_across_processes
+
+        keys = sorted(sums)
+        reduced = sum_across_processes(np.asarray(
+            [sums[k] for k in keys] + [float(count)], np.float64))
+        sums = dict(zip(keys, reduced[:-1]))
+        count = reduced[-1]
         return {k: v / max(count, 1) for k, v in sums.items()}
 
     if args.eval and not args.synthetic_data:

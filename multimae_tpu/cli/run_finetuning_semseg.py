@@ -103,7 +103,12 @@ def get_args(argv=None):
     parser.add_argument("--start_epoch", default=0, type=int)
     parser.add_argument("--eval", action="store_true")
     parser.add_argument("--test", action="store_true")
-    parser.add_argument("--dist_eval", action="store_true", default=False)
+    parser.add_argument(
+        "--dist_eval", action="store_true", default=False,
+        help="Accepted for reference-recipe parity; eval here is ALWAYS "
+             "process-sharded with exact partial-batch accounting and "
+             "cross-process metric reduction (no duplicate-padding bias), "
+             "so this flag changes nothing.")
     parser.add_argument("--num_workers", default=16, type=int)
     parser.add_argument("--pin_mem", action="store_true")
     parser.add_argument("--no_pin_mem", action="store_false", dest="pin_mem")

@@ -85,3 +85,22 @@ def depth_metrics(pred: jnp.ndarray, target: jnp.ndarray, mask_valid=None):
         "rmse": rmse, "rel": rel, "srel": srel, "log10": log10,
         "delta_1": d1, "delta_2": d2, "delta_3": d3,
     }
+
+
+def sum_across_processes(values: np.ndarray) -> np.ndarray:
+    """Element-wise sum of a host numpy array over all jax processes
+    (no-op single-process). Replaces the reference's --dist_eval metric
+    sync (run_finetuning_cls.py:391-398 + utils/dist.py:collect_results):
+    eval loaders here are ALWAYS process-sharded (grain ShardOptions in
+    data/loader.py) with exact partial-batch accounting, so summing
+    weighted metric numerators + counts reproduces full-dataset metrics
+    exactly — no duplicate-entry padding bias."""
+    import jax
+
+    if jax.process_count() == 1:
+        return values
+    from jax.experimental import multihost_utils
+
+    return np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(values))
+    ).sum(axis=0)
