@@ -10,6 +10,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -84,33 +85,39 @@ def available() -> bool:
     return _load() is not None
 
 
-# Per-process scratch for decode_jpeg (grain workers are processes, and
-# within one worker decodes are sequential): grown on demand, reused —
-# a fresh worst-case allocation per image costs page faults at 25 MB+.
-_DECODE_BUF = None
+# Per-THREAD scratch for decode_jpeg/decode_png: grown on demand,
+# reused — a fresh worst-case allocation per image costs page faults at
+# 25 MB+. Grain workers are processes (one buffer each), but a
+# thread-based prefetcher may decode concurrently within one process,
+# so the buffer is thread-local rather than module-global.
+_DECODE_TLS = threading.local()
+
+
+def _decode_buf() -> np.ndarray:
+    buf = getattr(_DECODE_TLS, "buf", None)
+    if buf is None:
+        buf = _DECODE_TLS.buf = np.empty(8 * 1024 * 1024 * 3, np.uint8)
+    return buf
 
 
 def decode_jpeg(data: bytes, min_size: int = 0) -> Optional[np.ndarray]:
     """Decode JPEG bytes to (H, W, 3) uint8. min_size > 0 enables DCT-domain
     downscaling: decodes at the largest 1/2^k scale whose short side still
     >= min_size. Returns None on failure (caller falls back to PIL)."""
-    global _DECODE_BUF
     lib = _load()
     if lib is None:
         return None
-    if _DECODE_BUF is None:
-        _DECODE_BUF = np.empty(8 * 1024 * 1024 * 3, np.uint8)  # 8 MP start
     h = ctypes.c_int()
     w = ctypes.c_int()
     while True:
-        out = _DECODE_BUF
+        out = _decode_buf()
         rc = lib.mm_decode_jpeg(
             data, len(data), min_size,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
             ctypes.byref(h), ctypes.byref(w),
         )
         if rc == -3 and out.size < 64 * 1024 * 1024 * 3:  # too small: grow
-            _DECODE_BUF = np.empty(out.size * 4, np.uint8)
+            _DECODE_TLS.buf = np.empty(out.size * 4, np.uint8)
             continue
         break
     if rc != 0:
@@ -126,18 +133,15 @@ def decode_png(data: bytes, want_rgb: bool = False) -> Optional[np.ndarray]:
     16-bit gray -> (H, W) uint16 (native endian), 8-bit gray -> (H, W)
     uint8, RGB stays (H, W, 3) uint8. Alpha is stripped. Returns None on
     failure (caller falls back to PIL)."""
-    global _DECODE_BUF
     lib = _load()
     if lib is None:
         return None
-    if _DECODE_BUF is None:
-        _DECODE_BUF = np.empty(8 * 1024 * 1024 * 3, np.uint8)
     h = ctypes.c_int()
     w = ctypes.c_int()
     c = ctypes.c_int()
     depth = ctypes.c_int()
     while True:
-        out = _DECODE_BUF
+        out = _decode_buf()
         rc = lib.mm_decode_png(
             data, len(data), int(want_rgb),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
@@ -145,7 +149,7 @@ def decode_png(data: bytes, want_rgb: bool = False) -> Optional[np.ndarray]:
             ctypes.byref(depth),
         )
         if rc == -3 and out.size < 64 * 1024 * 1024 * 3:
-            _DECODE_BUF = np.empty(out.size * 4, np.uint8)
+            _DECODE_TLS.buf = np.empty(out.size * 4, np.uint8)
             continue
         break
     if rc != 0:
