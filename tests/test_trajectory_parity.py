@@ -1,9 +1,9 @@
-"""50-step training-trajectory parity vs the reference (CPU, fp32).
+"""200-step training-trajectory parity vs the reference (CPU, fp32).
 
 Forward golden parity (test_model_parity.py) proves single-step
 equivalence; this test catches optimizer / LR-schedule / masking
 interaction drift over many steps (VERDICT.md round-1 weak #5): an
-identical tiny MultiMAE is trained for 50 steps on both sides — same
+identical tiny MultiMAE is trained for 200 steps on both sides — same
 weights, same fixed per-step task masks, same data, same AdamW + cosine
 schedule — and the per-step total losses must track.
 
@@ -23,7 +23,7 @@ install_reference_import_shim()
 import jax
 import jax.numpy as jnp
 
-STEPS = 50
+STEPS = 200
 IMG = 32
 PATCH = 16
 N_TOK = (IMG // PATCH) ** 2  # 4 per task
@@ -343,9 +343,13 @@ def test_50_step_loss_trajectory_tracks_reference():
 
     ours = np.array(ours_losses)
     refs = np.array(ref_losses)
-    # Same math in fp32; divergence accumulates slowly through 50 AdamW
-    # steps. Track per-step within 1% relative (early steps much tighter).
-    np.testing.assert_allclose(ours, refs, rtol=1e-2, atol=1e-3)
+    # Same math in fp32; divergence accumulates slowly through the AdamW
+    # trajectory. Track per-step within 1% relative over the first 50
+    # steps (early steps much tighter), 3% out to step 200 — slow drift
+    # in the optimizer/schedule/masking stack shows up here long before
+    # it would move a headline metric.
+    np.testing.assert_allclose(ours[:50], refs[:50], rtol=1e-2, atol=1e-3)
+    np.testing.assert_allclose(ours, refs, rtol=3e-2, atol=1e-3)
     # And both actually trained: mean loss decreased (targets are random
     # noise, so the model mostly learns the mean — the drop is small).
     assert ours[-10:].mean() < ours[:10].mean()
