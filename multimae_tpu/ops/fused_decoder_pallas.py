@@ -83,21 +83,26 @@ def enabled() -> bool:
 
 
 def supported(nq: int, nc: int, dim: int, heads: int, depth: int, dtype,
-              mlp_ratio: float = 4.0, ns: int = 1) -> bool:
+              mlp_ratio: float = 4.0, ns: int = 1,
+              blockdiag: bool = False) -> bool:
     """VMEM-fit estimate for the backward (recompute) kernel — the
     heavier of the two programs — at `ns` samples per program. It
     recomputes the whole forward and holds: the per-head fp32 probs
     (1 xattn + `depth` self-attn sets), ~20 activation slabs, the
     weights in compute dtype PLUS fp32 grad accumulators, and the
     double-buffered IO blocks. Everything except the weights scales
-    with ns. Oversized shapes (e.g. 512px pretraining, Nq~1024/decoder)
-    must fall back to the XLA module path instead of dying with a
-    Mosaic VMEM-exhaustion compile error."""
+    with ns (the block-diagonal attention mode's probs scale ns^2 —
+    one (ns*nq, ns*nk) tile per head instead of ns (nq, nk) tiles).
+    Oversized shapes (e.g. 512px pretraining, Nq~1024/decoder) must
+    fall back to the XLA module path instead of dying with a Mosaic
+    VMEM-exhaustion compile error."""
     bpe = jnp.dtype(dtype).itemsize
     f32 = 4
     hidden = int(dim * mlp_ratio)
     # fp32 softmax probabilities, all heads, all attention sites
     probs = heads * nq * (nc + depth * nq) * f32
+    if blockdiag:
+        probs *= ns  # per-sample cost below multiplies by ns again
     # activation slabs recorded by _core_fwd(save=...): dtype slabs +
     # fp32 xhat/LN-stat slabs (counted from the rec() calls)
     xattn_act = ((8 * nq + 3 * nc) * dim + 2 * nq * hidden) * bpe \
@@ -131,13 +136,41 @@ def pick_ns(b: int, nq: int, nc: int, dim: int, heads: int, depth: int,
     don't pay for the unaligned (196-row, non-sublane-tile) per-sample
     attention slices and the lost cross-program pipelining (B/ns
     programs overlap compute with IO; fewer, fatter programs overlap
-    less). Default is therefore 1; MULTIMAE_TPU_DECODER_NS forces a
+    less). The block-diagonal masked-attention variant (attn_blockdiag)
+    removes the unaligned slices entirely and STILL loses: 1118.3 at
+    ns=2 vs the same-day ns=1 capture of 1147.8 — so the deficit is the
+    pipelining (and at ns>1 the ns x junk attention FLOPs), not the
+    slicing. Default is therefore 1; MULTIMAE_TPU_DECODER_NS forces a
     value (must divide the per-device batch and fit `supported(ns=)`)
     for A/B runs at other shapes."""
     forced = os.environ.get("MULTIMAE_TPU_DECODER_NS")
-    if forced:
+    if forced and b % int(forced) == 0:
         return int(forced)
     return 1
+
+
+def attn_blockdiag() -> bool:
+    """At ns>1, run each attention site as ONE masked softmax over the
+    whole (ns*nq, ns*nk) slab per head — a block-diagonal mask zeroes
+    the cross-sample probabilities exactly (exp(-1e30) == 0 in fp32),
+    so numerics match the per-sample form bit-for-bit apart from the
+    padded row max. This removes the non-tile-aligned per-sample row
+    slices that made plain ns>1 slower (pick_ns docstring) at the cost
+    of ns x the attention FLOPs (attention is ~11% of decoder FLOPs at
+    the 224px shape). MEASURED at that shape (v5e, 2026-08-18): 1118.3
+    samples/s/chip at ns=2 vs 1147.8 at ns=1 same-day — alignment was
+    NOT the deficit; see pick_ns. Gated for A/B runs:
+    MULTIMAE_TPU_DECODER_ATTN=blockdiag; 'split' (default) keeps
+    per-sample slices."""
+    return os.environ.get("MULTIMAE_TPU_DECODER_ATTN") == "blockdiag"
+
+
+def _blockdiag_mask(bt, nq, nc):
+    """(bt*nq, bt*nc) bool: True where query-row sample == key-col
+    sample. Built from 2-D iotas (Mosaic lowers broadcasted_iota)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bt * nq, bt * nc), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bt * nq, bt * nc), 1)
+    return (rows // nq) == (cols // nc)
 
 
 class DecoderCoreWeights(NamedTuple):
@@ -353,11 +386,13 @@ def _mha_fwd(q2d, k2d, v2d, bt, nq, nc, heads, dh, scale, dtype,
     probs list (one entry per head, or per (head, sample) in-kernel).
     """
     outs, probs = [], []
+    blockdiag = inkernel and bt > 1 and attn_blockdiag()
+    mask = _blockdiag_mask(bt, nq, nc) if blockdiag else None
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
-        if bt == 1:
+        if bt == 1 or blockdiag:
             o, p = _attend_fwd_2d(q2d[:, sl], k2d[:, sl], v2d[:, sl],
-                                  scale, dtype)
+                                  scale, dtype, mask=mask)
             outs.append(o)
             probs.append(p)
         elif inkernel:
@@ -384,9 +419,13 @@ def _mha_bwd(q2d, k2d, v2d, probs, da2d, bt, nq, nc, heads, dh, scale,
              inkernel=False):
     """Gradients of _mha_fwd; returns (dq2d, dk2d, dv2d)."""
     dqs, dks, dvs = [], [], []
+    blockdiag = inkernel and bt > 1 and attn_blockdiag()
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
-        if bt == 1:
+        if bt == 1 or blockdiag:
+            # blockdiag: probs[h] is the full (bt*nq, bt*nc) tile with
+            # exact zeros off-block — the plain backward is already
+            # correct (see _attend_fwd_2d docstring).
             dq, dk, dv = _attend_bwd_2d(
                 q2d[:, sl], k2d[:, sl], v2d[:, sl], probs[h], da2d[:, sl],
                 scale)
@@ -417,12 +456,20 @@ def _mha_bwd(q2d, k2d, v2d, probs, da2d, bt, nq, nc, heads, dh, scale,
             jnp.concatenate(dvs, axis=1))
 
 
-def _attend_fwd_2d(q, k, v, scale, dtype):
-    """q (Nq, dh), k/v (Nc, dh) -> (out (Nq, dh), probs fp32 (Nq, Nc))."""
+def _attend_fwd_2d(q, k, v, scale, dtype, mask=None):
+    """q (Nq, dh), k/v (Nc, dh) -> (out (Nq, dh), probs fp32 (Nq, Nc)).
+
+    `mask` (bool, (Nq, Nc)): False entries get -1e30 before the softmax
+    and therefore EXACTLY zero probability (block-diagonal ns mode);
+    the backward needs no masking — zero probs kill every off-block
+    term in _attend_bwd_2d algebraically."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    p = _softmax_rows(s.astype(jnp.float32) * scale)
+    s = s.astype(jnp.float32) * scale
+    if mask is not None:
+        s = jnp.where(mask, s, jnp.float32(-1e30))
+    p = _softmax_rows(s)
     o = jnp.dot(p.astype(dtype), v, preferred_element_type=jnp.float32)
     return o.astype(dtype), p
 

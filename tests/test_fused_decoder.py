@@ -173,6 +173,28 @@ def test_depth1_and_odd_batch():
 
 
 @pytest.mark.parametrize("ns", [2, 4])
+def test_ns_blockdiag_matches_ns1(setup, monkeypatch, ns):
+    """Block-diagonal masked attention at ns>1 (one masked softmax over
+    the whole slab per head; off-block probs exactly zero) must match
+    the per-sample kernel."""
+    model, params, _ = setup
+    batch = make_batch(b=4)
+    monkeypatch.setenv("MULTIMAE_TPU_DECODER_NS", "1")
+    base_f = run_fwd(model, params, batch, "interpret")
+    base_g = run_grads(model, params, batch, "interpret")
+    monkeypatch.setenv("MULTIMAE_TPU_DECODER_NS", str(ns))
+    monkeypatch.setenv("MULTIMAE_TPU_DECODER_ATTN", "blockdiag")
+    wide_f = run_fwd(model, params, batch, "interpret")
+    wide_g = run_grads(model, params, batch, "interpret")
+    for t in base_f:
+        np.testing.assert_allclose(
+            np.asarray(wide_f[t]), np.asarray(base_f[t]),
+            rtol=1e-4, atol=1e-4, err_msg=f"task {t} ns={ns} blockdiag",
+        )
+    assert_trees_close(wide_g, base_g, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("ns", [2, 4])
 def test_ns_widening_matches_ns1(setup, monkeypatch, ns):
     """GEMM M-widening (ns samples per program, pick_ns) must reproduce
     the per-sample kernel up to fp32 accumulation-order noise from the
