@@ -145,7 +145,8 @@ def get_args(argv=None):
                              "mesh axis (Megatron-style, parallel/tp.py; "
                              "encoder weights sharded, two psums per block). "
                              "Composes with data parallelism on the "
-                             "remaining devices; incompatible with --fsdp")
+                             "remaining devices; add --fsdp for ZeRO-3 "
+                             "param/moment sharding over 'data' on top")
 
     # Synthetic-data mode for benchmarking / smoke tests without a dataset
     parser.add_argument("--synthetic_data", action="store_true",
@@ -191,9 +192,6 @@ def main(args):
     from multimae_tpu.utils.logger import MetricLogger, WandbLogger, write_log_line
 
     mesh_lib.initialize_distributed()
-    assert not (args.fsdp and args.model_parallel > 1), (
-        "--fsdp and --model_parallel are mutually exclusive"
-    )
     mesh = mesh_lib.create_mesh(model=args.model_parallel)
     n_devices = jax.device_count()
     print(f"devices: {n_devices} ({jax.devices()[0].platform})"
@@ -337,14 +335,16 @@ def main(args):
             print(f"[checkpoint] data iterator restore failed ({e}); "
                   "continuing with a fresh shuffle")
 
-    if args.fsdp:
+    if args.model_parallel > 1:
+        # --fsdp composes: ZeRO-3 'data' sharding on top of the
+        # Megatron 'model' sharding (parallel/tp.py 2-D specs).
+        from multimae_tpu.parallel.tp import shard_state_tp
+
+        state = shard_state_tp(state, mesh, fsdp=args.fsdp)
+    elif args.fsdp:
         from multimae_tpu.parallel.fsdp import shard_state_fsdp
 
         state = shard_state_fsdp(state, mesh)
-    elif args.model_parallel > 1:
-        from multimae_tpu.parallel.tp import shard_state_tp
-
-        state = shard_state_tp(state, mesh)
     else:
         state = state.replace(
             params=mesh_lib.replicate(state.params, mesh),
@@ -363,14 +363,14 @@ def main(args):
         clip_grad=args.clip_grad,
         skip_grad=args.skip_grad,
     )
-    if args.fsdp:
+    if args.model_parallel > 1:
+        from multimae_tpu.parallel.tp import jit_tp
+
+        dp_step = jit_tp(step_fn, state, mesh, fsdp=args.fsdp)
+    elif args.fsdp:
         from multimae_tpu.parallel.fsdp import jit_fsdp
 
         dp_step = jit_fsdp(step_fn, state, mesh)
-    elif args.model_parallel > 1:
-        from multimae_tpu.parallel.tp import jit_tp
-
-        dp_step = jit_tp(step_fn, state, mesh)
     else:
         dp_step = jit_data_parallel(step_fn, mesh)
 

@@ -15,14 +15,18 @@ recipe, not hand-written collectives:
 
 The fused qkv kernel stays replicated: its packed (3, H, Dh) output
 layout has no contiguous 'model' split, and with a replicated weight the
-head-sliced q/k/v are local slices — no collective. The Pallas kernels
-(short-attention / fused decoder / fused MLP / fused block) are
-shard_mapped over 'data' only and auto-disable under model>1 — the XLA
-einsum path is the TP-aware one (see the `enabled()` gates).
+head-sliced q/k/v are local slices — no collective. Pallas kernels under
+model>1: short_attention runs on local (batch, head) slices via
+mesh.bnhd_shard_map at TP-scoped sites (attention needs no collective);
+the fused decoder/MLP kernels live outside the TP scopes and replicate
+over 'model' like the XLA path; only the eval fused_block falls back to
+XLA (its fusion spans both Megatron psum points — see its `enabled()`).
 
 Compose with data parallelism by building `create_mesh(model=k)`:
 devices factor as (data, model) with 'model' innermost, i.e. adjacent
-devices (same ICI hop) form the tensor-parallel groups.
+devices (same ICI hop) form the tensor-parallel groups. Pass
+`fsdp=True` (CLI: --fsdp --model_parallel k) to additionally shard
+every large param/moment leaf over 'data' (ZeRO-3 x Megatron).
 """
 
 from __future__ import annotations
@@ -75,13 +79,36 @@ def _tp_leaf_spec(path, shape, n_model: int) -> P:
     return P()
 
 
-def tp_state_shardings(state, mesh: Mesh) -> Any:
+def _add_fsdp_axis(spec: P, shape, n_data: int, min_size: int) -> P:
+    """Compose a ZeRO-3 'data'-axis shard onto an existing (possibly
+    'model'-sharded) spec: the largest axis not already taken by
+    'model' and divisible by the data-group size gets DATA_AXIS. Small
+    leaves stay as-is (gathering them costs more than the memory
+    saved — same policy as parallel/fsdp.py)."""
+    if np.prod(shape, dtype=np.int64) < min_size:
+        return spec
+    dims = list(spec) + [None] * (len(shape) - len(spec))
+    order = sorted(range(len(shape)), key=lambda d: -shape[d])
+    for d in order:
+        if dims[d] is None and shape[d] % n_data == 0 and shape[d] >= n_data:
+            dims[d] = DATA_AXIS
+            return P(*dims)
+    return spec
+
+
+def tp_state_shardings(state, mesh: Mesh, fsdp: bool = False,
+                       min_size: int = 2**15) -> Any:
     """Per-leaf NamedShardings for a TrainState under a (data, model)
     mesh: encoder block weights (and their congruent Adam moments, EMA
-    copies) sharded over 'model'; everything else replicated."""
+    copies) sharded over 'model'; everything else replicated. With
+    `fsdp=True`, every large leaf is ADDITIONALLY sharded over 'data'
+    on its largest free axis (ZeRO-3 x Megatron 2-D sharding: GSPMD
+    all-gathers params over 'data' at use and reduce-scatters their
+    grads, while the block GEMMs stay partitioned over 'model')."""
     from jax.tree_util import tree_map_with_path
 
     n_model = mesh.shape[MODEL_AXIS]
+    n_data = mesh.shape[DATA_AXIS]
 
     def to_sharding(path_keys, leaf):
         path = tuple(
@@ -90,21 +117,29 @@ def tp_state_shardings(state, mesh: Mesh) -> Any:
         shape = np.shape(leaf)
         if not shape:
             return NamedSharding(mesh, P())
-        return NamedSharding(mesh, _tp_leaf_spec(path, shape, n_model))
+        spec = _tp_leaf_spec(path, shape, n_model)
+        if fsdp and n_data > 1:
+            spec = _add_fsdp_axis(spec, shape, n_data, min_size)
+        return NamedSharding(mesh, spec)
 
     return tree_map_with_path(to_sharding, state)
 
 
-def shard_state_tp(state, mesh: Mesh):
-    """Place an existing TrainState according to TP shardings."""
-    shardings = tp_state_shardings(state, mesh)
+def shard_state_tp(state, mesh: Mesh, fsdp: bool = False,
+                   min_size: int = 2**15):
+    """Place an existing TrainState according to TP(+FSDP) shardings."""
+    shardings = tp_state_shardings(state, mesh, fsdp=fsdp,
+                                   min_size=min_size)
     return jax.tree.map(jax.device_put, state, shardings)
 
 
-def jit_tp(train_step, state, mesh: Mesh):
+def jit_tp(train_step, state, mesh: Mesh, fsdp: bool = False,
+           min_size: int = 2**15):
     """jit the step tensor-parallel: batch sharded on 'data', encoder
     weights sharded on 'model', activations partitioned by the in-model
-    constraints (mesh.constrain_tp).
+    constraints (mesh.constrain_tp). `fsdp=True` composes ZeRO-3
+    parameter/moment sharding over 'data' on top (--fsdp
+    --model_parallel k on the pretrain CLI).
 
     No sequence-parallel variant: a Megatron-SP formulation was built
     and removed — the SPMD partitioner emitted no reduce-scatters for
@@ -114,7 +149,8 @@ def jit_tp(train_step, state, mesh: Mesh):
 
     assert mesh.shape[MODEL_AXIS] > 1, "use jit_data_parallel for model=1"
     use_constraint_mesh(mesh)
-    state_sh = tp_state_shardings(state, mesh)
+    state_sh = tp_state_shardings(state, mesh, fsdp=fsdp,
+                                  min_size=min_size)
     data_sh = NamedSharding(mesh, P(DATA_AXIS))
     repl = NamedSharding(mesh, P())
     return jax.jit(

@@ -162,3 +162,75 @@ def test_tp_step_matches_single(model_par):
                 rtol=5e-4, atol=2e-5, err_msg="/".join(path))
     finally:
         use_constraint_mesh(None)
+
+
+def test_tp_fsdp_combined_matches_single():
+    """ZeRO-3 x Megatron composition (--fsdp --model_parallel 2): large
+    leaves additionally sharded over 'data' on a free axis; step result
+    must still match the single-device step."""
+    assert jax.device_count() >= 8, "conftest must simulate 8 cpu devices"
+    from multimae_tpu.parallel.mesh import DATA_AXIS
+
+    params, tx, step_fn, batch = _build_setup()
+    try:
+        use_constraint_mesh(None)
+        state_ref = TrainState.create(
+            params=jax.tree.map(jnp.array, params), tx=tx)
+        state_ref, metrics_ref = jax.jit(step_fn)(
+            state_ref, batch, jax.random.PRNGKey(7))
+
+        mesh = create_mesh(model=2)  # (data=4, model=2)
+        state_2d = TrainState.create(
+            params=jax.tree.map(jnp.array, params), tx=tx)
+        # min_size=1: the tiny model's leaves are all below the
+        # production 32k-element ZeRO threshold
+        state_2d = shard_state_tp(state_2d, mesh, fsdp=True, min_size=1)
+        # a TP leaf picked up the extra 'data' axis (2-D sharded)...
+        fc1 = state_2d.params["model"]["encoder_0"]["mlp"]["fc1"]["kernel"]
+        assert fc1.sharding.spec == P(DATA_AXIS, MODEL_AXIS), fc1.sharding
+        # ...and a large non-TP leaf is ZeRO-sharded over 'data'
+        qkv = state_2d.params["model"]["encoder_0"]["attn"]["qkv"]["kernel"]
+        assert DATA_AXIS in (qkv.sharding.spec or ()), qkv.sharding
+
+        step_2d = jit_tp(step_fn, state_2d, mesh, fsdp=True, min_size=1)
+        state_2d, metrics_2d = step_2d(
+            state_2d, shard_batch(batch, mesh), jax.random.PRNGKey(7))
+
+        np.testing.assert_allclose(
+            float(metrics_2d["loss"]), float(metrics_ref["loss"]), rtol=1e-4)
+        np.testing.assert_allclose(
+            float(metrics_2d["grad_norm"]), float(metrics_ref["grad_norm"]),
+            rtol=1e-3)
+        for path in (
+            ("encoder_0", "attn", "qkv", "kernel"),
+            ("encoder_1", "mlp", "fc1", "kernel"),
+            ("encoder_0", "attn", "proj", "kernel"),
+        ):
+            a = state_ref.params["model"]
+            b = state_2d.params["model"]
+            for k in path:
+                a, b = a[k], b[k]
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(jax.device_get(b)),
+                rtol=5e-4, atol=2e-5, err_msg="/".join(path))
+    finally:
+        use_constraint_mesh(None)
+
+
+def test_add_fsdp_axis_rules():
+    from multimae_tpu.parallel.mesh import DATA_AXIS
+    from multimae_tpu.parallel.tp import _add_fsdp_axis
+
+    # TP'd fc1 (D, hidden): 'data' lands on the free (largest-free) axis
+    assert _add_fsdp_axis(P(None, MODEL_AXIS), (256, 1024), 4, 1) \
+        == P(DATA_AXIS, MODEL_AXIS)
+    # row-parallel fc2 (hidden, D): axis 0 taken -> 'data' on axis 1
+    assert _add_fsdp_axis(P(MODEL_AXIS, None), (1024, 256), 4, 1) \
+        == P(MODEL_AXIS, DATA_AXIS)
+    # replicated leaf: plain ZeRO shard on the largest divisible axis
+    assert _add_fsdp_axis(P(), (256, 1024), 4, 1) == P(None, DATA_AXIS)
+    # small leaves stay put
+    assert _add_fsdp_axis(P(), (8, 8), 4, 2**15) == P()
+    # nothing divisible -> unchanged
+    assert _add_fsdp_axis(P(MODEL_AXIS, None), (1024, 255), 4, 1) \
+        == P(MODEL_AXIS, None)
