@@ -28,6 +28,9 @@ def get_args(argv=None):
     parser.add_argument("--batch_size", default=128, type=int)
     parser.add_argument("--epochs", default=100, type=int)
     parser.add_argument("--update_freq", default=1, type=int)
+    parser.add_argument("--ckpt_backend", default=None,
+                        choices=["msgpack", "orbax"],
+                        help="msgpack: rank-0 gather-save (torch-interop default); orbax: sharded per-host save (pod-native, no gather)")
     parser.add_argument("--save_ckpt_freq", default=20, type=int)
 
     parser.add_argument("--model", default="multivit_base", type=str)
@@ -207,6 +210,10 @@ def evaluate(eval_step, params, loader, n_batches=None):
 
 
 def main(args):
+    if getattr(args, "ckpt_backend", None):
+        from multimae_tpu.train.checkpoint import set_default_backend
+
+        set_default_backend(args.ckpt_backend)
     from multimae_tpu.utils.jax_setup import setup_jax
 
     setup_jax()

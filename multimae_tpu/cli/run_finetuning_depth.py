@@ -27,6 +27,9 @@ def get_args(argv=None):
     parser = argparse.ArgumentParser("MultiMAE depth fine-tuning script")
     parser.add_argument("--batch_size", default=64, type=int)
     parser.add_argument("--epochs", default=2000, type=int)
+    parser.add_argument("--ckpt_backend", default=None,
+                        choices=["msgpack", "orbax"],
+                        help="msgpack: rank-0 gather-save (torch-interop default); orbax: sharded per-host save (pod-native, no gather)")
     parser.add_argument("--save_ckpt_freq", default=200, type=int)
 
     parser.add_argument("--in_domains", default="rgb", type=str)
@@ -191,6 +194,10 @@ def build_depth_model(args, dtype):
 
 
 def main(args):
+    if getattr(args, "ckpt_backend", None):
+        from multimae_tpu.train.checkpoint import set_default_backend
+
+        set_default_backend(args.ckpt_backend)
     from multimae_tpu.utils.jax_setup import setup_jax
 
     setup_jax()

@@ -29,6 +29,9 @@ def get_args(argv=None):
     parser = argparse.ArgumentParser("MultiMAE semantic segmentation fine-tuning script")
     parser.add_argument("--batch_size", default=4, type=int)
     parser.add_argument("--epochs", default=64, type=int)
+    parser.add_argument("--ckpt_backend", default=None,
+                        choices=["msgpack", "orbax"],
+                        help="msgpack: rank-0 gather-save (torch-interop default); orbax: sharded per-host save (pod-native, no gather)")
     parser.add_argument("--save_ckpt_freq", default=20, type=int)
 
     parser.add_argument("--in_domains", default="rgb", type=str)
@@ -240,6 +243,10 @@ def seg_cross_entropy(logits, target, ignore_index=SEG_IGNORE_INDEX):
 
 
 def main(args):
+    if getattr(args, "ckpt_backend", None):
+        from multimae_tpu.train.checkpoint import set_default_backend
+
+        set_default_backend(args.ckpt_backend)
     from multimae_tpu.utils.jax_setup import setup_jax
 
     setup_jax()

@@ -35,6 +35,9 @@ def get_args(argv=None):
     parser.add_argument("--batch_size", default=256, type=int,
                         help="Batch size per device")
     parser.add_argument("--epochs", default=1600, type=int)
+    parser.add_argument("--ckpt_backend", default=None,
+                        choices=["msgpack", "orbax"],
+                        help="msgpack: rank-0 gather-save (torch-interop default); orbax: sharded per-host save (pod-native, no gather)")
     parser.add_argument("--save_ckpt_freq", default=20, type=int)
 
     # Task parameters
@@ -164,6 +167,10 @@ def get_args(argv=None):
 
 
 def main(args):
+    if getattr(args, "ckpt_backend", None):
+        from multimae_tpu.train.checkpoint import set_default_backend
+
+        set_default_backend(args.ckpt_backend)
     from multimae_tpu.utils.jax_setup import setup_jax
 
     setup_jax()

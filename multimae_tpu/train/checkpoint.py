@@ -1,15 +1,27 @@
 """Checkpoint save / auto-resume (reference: utils/checkpoint.py).
 
-Format: one `checkpoint-{epoch}.msgpack` per save (flax serialization of
-{params, opt_state, step, epoch, ema, batch_stats}), plus an `args.json`
-sidecar — mirroring the reference's checkpoint-{epoch}.pth contents
-(model/optimizer/epoch/scaler/args, utils/checkpoint.py:80-95). Only
-process 0 writes (utils/dist.py:57-59).
+Two backends, selected per-call or via --ckpt_backend /
+$MULTIMAE_TPU_CKPT_BACKEND:
 
-`auto_load_checkpoint` globs the latest checkpoint-*.msgpack and restores
-optimizer + epoch (utils/checkpoint.py:103-134). `load_pretrained_torch`
-reads the released PyTorch .pth files through multimae_tpu.utils.
-torch_compat for fine-tuning starts.
+- "msgpack" (default): one `checkpoint-{epoch}.msgpack` per save (flax
+  serialization of {params, opt_state, step, epoch, ema, batch_stats}),
+  plus an `args.json` sidecar — mirroring the reference's
+  checkpoint-{epoch}.pth contents (model/optimizer/epoch/scaler/args,
+  utils/checkpoint.py:80-95). Only process 0 writes (utils/dist.py:
+  57-59) after a collective gather of any cross-process-sharded state.
+- "orbax": `checkpoint-{epoch}.orbax/` via orbax StandardCheckpointer —
+  each host writes its own shards directly (no gather, no full copy in
+  host RAM), which is the TPU-pod-native path for large FSDP/TP states.
+  Epoch lives in a `.meta.json` sidecar; extras in `.extras.msgpack`.
+
+Either way, per-process extras (the grain iterator position — the
+loader is process-sharded) go to per-rank `.proc{k}.msgpack` sidecars
+and each rank restores its OWN copy on resume.
+
+`auto_load_checkpoint` globs the latest checkpoint of either format and
+restores optimizer + epoch (utils/checkpoint.py:103-134).
+`load_pretrained_torch` reads the released PyTorch .pth files through
+multimae_tpu.utils.torch_compat for fine-tuning starts.
 """
 
 from __future__ import annotations
@@ -27,6 +39,48 @@ import numpy as np
 
 def _is_main() -> bool:
     return jax.process_index() == 0
+
+
+def default_backend() -> str:
+    """Checkpoint backend when a call doesn't pass one explicitly."""
+    return os.environ.get("MULTIMAE_TPU_CKPT_BACKEND", "msgpack")
+
+
+def set_default_backend(name: str) -> None:
+    """Wire --ckpt_backend through to every save/load in the process."""
+    assert name in ("msgpack", "orbax"), name
+    os.environ["MULTIMAE_TPU_CKPT_BACKEND"] = name
+
+
+def _prune_empty(tree):
+    """Drop empty dict subtrees (optax EmptyState etc.) — orbax rejects
+    empty interior nodes; the restore merge treats their absence as
+    'keep the template leaf', which is exactly right for stateless
+    transforms."""
+    if isinstance(tree, dict):
+        out = {k: _prune_empty(v) for k, v in tree.items()}
+        return {k: v for k, v in out.items()
+                if not (isinstance(v, dict) and not v)}
+    return tree
+
+
+def _to_host(tree):
+    """device_get that also works on cross-process sharded arrays.
+
+    Under multi-host FSDP/TP the state's jax.Arrays are not fully
+    addressable, so rank 0 alone cannot read them — every process joins
+    a collective gather (process_allgather fully replicates the global
+    value on each host) BEFORE the rank-0 write gate in save_checkpoint.
+    Single-process / fully-addressable leaves take plain device_get.
+    """
+    from jax.experimental import multihost_utils
+
+    def fix(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return jax.device_get(x)
+
+    return jax.tree.map(fix, tree)
 
 
 def resolve_checkpoint_path(path_or_url: str, cache_dir: Optional[str] = None) -> str:
@@ -67,42 +121,123 @@ def save_checkpoint(
     extras: Optional[Dict[str, Any]] = None,
     args: Optional[Dict[str, Any]] = None,
     tag: Optional[str] = None,
+    backend: Optional[str] = None,
 ) -> Optional[str]:
-    """Write checkpoint-{epoch}.msgpack (rank 0 only). Returns the path."""
-    if not _is_main():
-        return None
-    os.makedirs(output_dir, exist_ok=True)
+    """Write checkpoint-{epoch}.{msgpack|orbax}. Rank 0 writes the
+    msgpack (after a collective gather of any cross-process-sharded
+    state); the orbax backend writes each host's shards directly. ALL
+    processes must call either way. output_dir is assumed shared across
+    hosts, as in the reference's rank-0 torch.save (utils/dist.py:
+    57-59). Returns the path (None on non-main msgpack ranks)."""
+    backend = backend or default_backend()
     to_sd = flax.serialization.to_state_dict
+    name = tag if tag is not None else f"checkpoint-{epoch}"
+    os.makedirs(output_dir, exist_ok=True)
+    if extras and jax.process_count() > 1:
+        # Host-local extras (the grain iterator position: the loader is
+        # process-sharded via ShardOptions) differ per rank — each rank
+        # writes its own sidecar; load_checkpoint prefers the matching
+        # sidecar over the rank-0 copy embedded in the main payload.
+        ppath = os.path.join(
+            output_dir, f"{name}.proc{jax.process_index()}.msgpack")
+        with open(ppath + ".tmp", "wb") as f:
+            f.write(flax.serialization.msgpack_serialize(
+                to_sd(jax.device_get(extras))))
+        os.replace(ppath + ".tmp", ppath)
+    if args is not None and _is_main():
+        with open(os.path.join(output_dir, "args.json"), "w") as f:
+            json.dump({k: str(v) for k, v in args.items()}, f, indent=2)
+
+    if backend == "orbax":
+        return _save_orbax(output_dir, name, epoch, state, extras)
+
+    # msgpack: gather BEFORE the rank gate — see _to_host.
     payload = {
-        "params": to_sd(jax.device_get(state.params)),
-        "opt_state": to_sd(jax.device_get(state.opt_state)),
-        "step": int(state.step),
+        "params": to_sd(_to_host(state.params)),
+        "opt_state": to_sd(_to_host(state.opt_state)),
+        "step": int(np.asarray(_to_host(state.step))),
         "epoch": int(epoch),
     }
     if state.ema_params is not None:
-        payload["ema_params"] = to_sd(jax.device_get(state.ema_params))
+        payload["ema_params"] = to_sd(_to_host(state.ema_params))
     if state.batch_stats is not None:
-        payload["batch_stats"] = to_sd(jax.device_get(state.batch_stats))
+        payload["batch_stats"] = to_sd(_to_host(state.batch_stats))
     if extras:
         payload["extras"] = to_sd(jax.device_get(extras))
-    name = tag if tag is not None else f"checkpoint-{epoch}"
+    if not _is_main():
+        return None
     path = os.path.join(output_dir, f"{name}.msgpack")
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(flax.serialization.msgpack_serialize(payload))
     os.replace(tmp, path)
-    if args is not None:
-        with open(os.path.join(output_dir, "args.json"), "w") as f:
-            json.dump({k: str(v) for k, v in args.items()}, f, indent=2)
+    return path
+
+
+def _save_orbax(output_dir, name, epoch, state, extras) -> str:
+    """Sharded save: every host writes its own device shards (orbax
+    coordinates the atomic rename across processes) — no gather, no
+    full-state host copy. The pod-native path for FSDP/TP states."""
+    import orbax.checkpoint as ocp
+
+    to_sd = flax.serialization.to_state_dict
+    tree = {
+        "params": to_sd(state.params),
+        "opt_state": to_sd(state.opt_state),
+        "step": state.step,
+    }
+    if state.ema_params is not None:
+        tree["ema_params"] = to_sd(state.ema_params)
+    if state.batch_stats is not None:
+        tree["batch_stats"] = to_sd(state.batch_stats)
+    tree = _prune_empty(tree)
+    if jax.process_count() > 1:
+        # Orbax refuses host-local arrays in multi-host mode (each host
+        # holds its own copy, e.g. the step counter or host-replicated
+        # leaves). Promote them to global fully-replicated arrays;
+        # cross-process sharded leaves (FSDP/TP) pass through untouched.
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+        from jax.sharding import Mesh, PartitionSpec
+
+        gmesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("_ckpt",))
+
+        def globalize(x):
+            if not isinstance(x, jax.Array):
+                x = jnp.asarray(x)
+            if x.is_fully_addressable:
+                return multihost_utils.host_local_array_to_global_array(
+                    x, gmesh, PartitionSpec())
+            return x
+
+        tree = jax.tree.map(globalize, tree)
+    path = os.path.abspath(os.path.join(output_dir, f"{name}.orbax"))
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        ckptr.save(path, tree, force=True)
+        ckptr.wait_until_finished()
+    finally:
+        ckptr.close()
+    if _is_main():
+        with open(path + ".meta.json", "w") as f:
+            json.dump({"epoch": int(epoch)}, f)
+        if extras:
+            epath = path + ".extras.msgpack"
+            with open(epath + ".tmp", "wb") as f:
+                f.write(flax.serialization.msgpack_serialize(
+                    to_sd(jax.device_get(extras))))
+            os.replace(epath + ".tmp", epath)
     return path
 
 
 def latest_checkpoint(output_dir: str) -> Optional[str]:
-    """Glob latest checkpoint-*.msgpack (reference :107-117)."""
+    """Glob the latest checkpoint-* of either backend (reference
+    :107-117)."""
     ckpts = glob.glob(os.path.join(output_dir, "checkpoint-*.msgpack"))
+    ckpts += glob.glob(os.path.join(output_dir, "checkpoint-*.orbax"))
     best, best_epoch = None, -1
     for c in ckpts:
-        m = re.search(r"checkpoint-(\d+)\.msgpack$", c)
+        m = re.search(r"checkpoint-(\d+)\.(msgpack|orbax)$", c)
         if m and int(m.group(1)) > best_epoch:
             best_epoch = int(m.group(1))
             best = c
@@ -115,8 +250,13 @@ def load_checkpoint(path: str, state, with_extras: bool = False):
     Returns (state, epoch) or (state, epoch, extras) with with_extras.
     """
     path = resolve_checkpoint_path(path)
-    with open(path, "rb") as f:
-        payload = flax.serialization.msgpack_restore(f.read())
+    if path.endswith(".orbax") or os.path.isdir(path):
+        payload = _orbax_restore_payload(path)
+        stem = path[: -len(".orbax")] if path.endswith(".orbax") else path
+    else:
+        with open(path, "rb") as f:
+            payload = flax.serialization.msgpack_restore(f.read())
+        stem = path[: -len(".msgpack")]
 
     def _restore(template, saved):
         # Recursive template-preserving merge (NOT flatten/unflatten, which
@@ -137,7 +277,9 @@ def load_checkpoint(path: str, state, with_extras: bool = False):
 
     new_state = state.replace(
         params=_restore(state.params, payload["params"]),
-        opt_state=_restore(state.opt_state, payload["opt_state"]),
+        # .get: a fully-stateless transform's opt_state prunes to
+        # nothing in the orbax tree; the merge keeps the template.
+        opt_state=_restore(state.opt_state, payload.get("opt_state")),
         step=np.asarray(payload["step"], np.int32),
     )
     if state.ema_params is not None and "ema_params" in payload:
@@ -149,8 +291,44 @@ def load_checkpoint(path: str, state, with_extras: bool = False):
             batch_stats=_restore(state.batch_stats, payload["batch_stats"])
         )
     if with_extras:
-        return new_state, int(payload["epoch"]), payload.get("extras", {})
+        extras = payload.get("extras", {})
+        # Multi-host: prefer this rank's own sidecar (per-process grain
+        # iterator position) over the rank-0 copy in the main payload.
+        pp = stem + f".proc{jax.process_index()}.msgpack"
+        if os.path.exists(pp):
+            with open(pp, "rb") as f:
+                extras = flax.serialization.msgpack_restore(f.read())
+        return new_state, int(payload["epoch"]), extras
     return new_state, int(payload["epoch"])
+
+
+def _orbax_restore_payload(path: str) -> Dict[str, Any]:
+    """Read an .orbax checkpoint back into the msgpack payload shape
+    (numpy leaves on every host; the template-preserving merge in
+    load_checkpoint re-shards from there)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        # _to_host: multi-host restores come back as global jax.Arrays
+        # (not addressable from one host) — gather them to numpy so the
+        # template merge below can reshape/re-shard them.
+        payload = _to_host(dict(ckptr.restore(path)))
+    finally:
+        ckptr.close()
+    meta_path = path + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            payload["epoch"] = int(json.load(f)["epoch"])
+    else:  # tag-saved without meta: fall back to the name
+        m = re.search(r"checkpoint-(\d+)\.orbax$", path)
+        payload["epoch"] = int(m.group(1)) if m else 0
+    epath = path + ".extras.msgpack"
+    if os.path.exists(epath):
+        with open(epath, "rb") as f:
+            payload["extras"] = flax.serialization.msgpack_restore(f.read())
+    return payload
 
 
 def auto_load_checkpoint(output_dir: str, state, with_extras: bool = False):

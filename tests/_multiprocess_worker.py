@@ -78,6 +78,60 @@ def main():
     segs = sorted((int(a), int(b)) for a, b in bounds)
     assert segs[0] == (0, 4) and segs[1] == (4, 8), segs
 
+    # 4. Checkpoint round-trip with CROSS-PROCESS sharded state (the
+    # multi-host FSDP/TP layout): params are not fully addressable, so
+    # save_checkpoint's collective gather must run on every rank before
+    # rank 0 serializes; per-process extras (grain iterator position)
+    # go to per-rank sidecars and each rank restores its OWN copy.
+    ckpt_dir = os.environ.get("MP_CKPT_DIR")
+    if ckpt_dir:
+        import optax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from multimae_tpu.parallel.mesh import create_mesh
+        from multimae_tpu.train.checkpoint import (
+            load_checkpoint,
+            save_checkpoint,
+        )
+        from multimae_tpu.train.train_state import TrainState
+
+        mesh = create_mesh()
+        w_global = np.arange(16.0, dtype=np.float32).reshape(16, 1)
+        w = jax.make_array_from_callback(
+            (16, 1), NamedSharding(mesh, P("data", None)),
+            lambda idx: w_global[idx],
+        )
+        assert not w.is_fully_addressable  # the case under test
+        tx = optax.sgd(0.1)
+        state = TrainState.create(params={"w": w}, tx=tx)
+        my_iter_state = f"grain-pos-rank{rank}".encode()
+        save_checkpoint(ckpt_dir, 0, state,
+                        extras={"data_iter_state": my_iter_state})
+        multihost_utils.sync_global_devices("ckpt written")
+
+        template = TrainState.create(
+            params={"w": np.zeros((16, 1), np.float32)}, tx=tx)
+        st2, epoch, ex = load_checkpoint(
+            os.path.join(ckpt_dir, "checkpoint-0.msgpack"),
+            template, with_extras=True)
+        assert epoch == 0
+        np.testing.assert_array_equal(np.asarray(st2.params["w"]), w_global)
+        assert bytes(ex["data_iter_state"]) == my_iter_state, ex
+
+        # Same round-trip through the orbax backend: each host writes
+        # its own shards (no gather), both ranks restore the global
+        # values plus their own per-rank extras sidecar.
+        save_checkpoint(ckpt_dir, 1, state,
+                        extras={"data_iter_state": my_iter_state},
+                        backend="orbax")
+        multihost_utils.sync_global_devices("orbax ckpt written")
+        st3, epoch3, ex3 = load_checkpoint(
+            os.path.join(ckpt_dir, "checkpoint-1.orbax"),
+            template, with_extras=True)
+        assert epoch3 == 1
+        np.testing.assert_array_equal(np.asarray(st3.params["w"]), w_global)
+        assert bytes(ex3["data_iter_state"]) == my_iter_state, ex3
+
     print(f"MP_OK {rank}", flush=True)
 
 

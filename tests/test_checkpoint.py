@@ -1,0 +1,85 @@
+"""Unit tests for train/checkpoint.py (single-process path).
+
+The multi-host path (cross-process sharded state, per-rank extras
+sidecars) is exercised by tests/test_multiprocess.py; the CLI resume
+drives cover the end-to-end wiring. This file pins the plain API:
+save -> latest -> auto-resume round-trip with optimizer state, EMA,
+and extras. Reference semantics: utils/checkpoint.py:80-134.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from multimae_tpu.train.checkpoint import (
+    auto_load_checkpoint,
+    latest_checkpoint,
+    save_checkpoint,
+)
+from multimae_tpu.train.train_state import TrainState
+
+
+def _tiny_state(seed: int, ema: bool = False):
+    k = jax.random.PRNGKey(seed)
+    params = {
+        "dense": {"kernel": jax.random.normal(k, (4, 3)), "bias": jnp.ones((3,))},
+    }
+    tx = optax.adamw(1e-3)
+    return TrainState.create(params=params, tx=tx,
+                             ema_decay=0.99 if ema else None)
+
+
+@pytest.mark.parametrize("backend", ["msgpack", "orbax"])
+def test_save_and_auto_resume_roundtrip(tmp_path, backend):
+    state = _tiny_state(0, ema=True)
+    # take one real optimizer step so opt_state moments are nontrivial
+    grads = jax.tree.map(jnp.ones_like, state.params)
+    state = state.apply_gradients(grads, ema_decay=0.99)
+
+    path = save_checkpoint(
+        str(tmp_path), 3, state,
+        extras={"data_iter_state": np.frombuffer(b"grain-pos", np.uint8)},
+        args={"model": "tiny"},
+        backend=backend,
+    )
+    assert path is not None and path.endswith(f"checkpoint-3.{backend}")
+    assert latest_checkpoint(str(tmp_path)) == path
+    assert (tmp_path / "args.json").exists()
+
+    template = _tiny_state(1, ema=True)  # different values, same shapes
+    restored, start_epoch, extras = auto_load_checkpoint(
+        str(tmp_path), template, with_extras=True)
+    assert start_epoch == 4  # saved epoch + 1 (reference :131)
+    assert bytes(extras["data_iter_state"]) == b"grain-pos"
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(restored.ema_params),
+                    jax.tree.leaves(state.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(restored.opt_state),
+                    jax.tree.leaves(state.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(state.step)
+
+
+def test_auto_resume_empty_dir(tmp_path):
+    state = _tiny_state(0)
+    restored, start_epoch = auto_load_checkpoint(str(tmp_path), state)
+    assert start_epoch == 0 and restored is state
+
+
+def test_latest_picks_highest_epoch(tmp_path):
+    state = _tiny_state(0)
+    for ep in (1, 10, 2):
+        save_checkpoint(str(tmp_path), ep, state)
+    assert latest_checkpoint(str(tmp_path)).endswith("checkpoint-10.msgpack")
+
+
+def test_latest_spans_backends(tmp_path):
+    state = _tiny_state(0)
+    save_checkpoint(str(tmp_path), 1, state, backend="msgpack")
+    save_checkpoint(str(tmp_path), 2, state, backend="orbax")
+    assert latest_checkpoint(str(tmp_path)).endswith("checkpoint-2.orbax")

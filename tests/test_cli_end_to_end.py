@@ -69,6 +69,31 @@ def test_pretraining_cli_synthetic(tmp_path):
     assert os.path.exists(os.path.join(out, "log.txt"))
 
 
+def test_pretraining_cli_orbax_backend_resume(tmp_path):
+    from multimae_tpu.cli.run_pretraining_multimae import get_args, main
+
+    out = str(tmp_path / "out")
+    base = [a for a in TINY_PRETRAIN if a != "--no_auto_resume"]
+    try:
+        args = get_args(base + [
+            "--output_dir", out, "--save_ckpt_freq", "1",
+            "--ckpt_backend", "orbax",
+        ])
+        main(args)
+        assert os.path.isdir(os.path.join(out, "checkpoint-0.orbax"))
+        # second run must auto-resume from the orbax checkpoint and
+        # continue into epoch 1
+        args2 = get_args(base + [
+            "--output_dir", out, "--save_ckpt_freq", "1",
+            "--ckpt_backend", "orbax", "--epochs", "2",
+        ])
+        main(args2)
+        assert os.path.isdir(os.path.join(out, "checkpoint-1.orbax"))
+    finally:
+        # set_default_backend wrote the process-global env default
+        os.environ.pop("MULTIMAE_TPU_CKPT_BACKEND", None)
+
+
 def test_pretraining_cli_default_balancer_none(tmp_path):
     # regression: NoWeighting balancer has no params (was a KeyError)
     from multimae_tpu.cli.run_pretraining_multimae import get_args, main

@@ -60,9 +60,10 @@ def _run_pair(env0: dict, env1: dict, timeout: int = 240):
         assert f"MP_OK {rank}" in out, f"rank {rank} output:\n{out}"
 
 
-def test_two_process_coordinator_env():
+def test_two_process_coordinator_env(tmp_path):
     """env:// equivalent (JAX_COORDINATOR_ADDRESS) + the full functional
-    battery: metric sync, confusion-matrix merge, batch-slice tiling."""
+    battery: metric sync, confusion-matrix merge, batch-slice tiling,
+    and a checkpoint round-trip of cross-process-sharded state."""
     port = _free_port()
     base = _clean_env()
     envs = []
@@ -71,6 +72,7 @@ def test_two_process_coordinator_env():
         e["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
         e["JAX_NUM_PROCESSES"] = "2"
         e["JAX_PROCESS_ID"] = str(rank)
+        e["MP_CKPT_DIR"] = str(tmp_path)
         envs.append(e)
     _run_pair(*envs)
 
