@@ -415,6 +415,9 @@ def main(args):
             save_checkpoint(args.output_dir, epoch, state, args=vars(args))
         write_log_line(args.output_dir, log_stats)
 
+    from multimae_tpu.train.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()
     print(f"Training time {datetime.timedelta(seconds=int(time.time() - start))}")
 
 

@@ -473,6 +473,9 @@ def main(args):
         write_log_line(args.output_dir, log_stats)
 
     total_time = time.time() - start_time
+    from multimae_tpu.train.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()
     print(f"Training time {datetime.timedelta(seconds=int(total_time))}")
 
 

@@ -174,6 +174,38 @@ def save_checkpoint(
     return path
 
 
+_ASYNC_CKPTR = None
+
+
+def _orbax_checkpointer():
+    """(checkpointer, owns) — MULTIMAE_TPU_ORBAX_ASYNC=1 returns a
+    process-wide AsyncCheckpointer: save() returns once the device->host
+    copy is done (safe with donated train-state buffers) and the disk
+    commit overlaps the next training steps; each save waits for the
+    previous commit, and atexit drains the last one."""
+    import orbax.checkpoint as ocp
+
+    if os.environ.get("MULTIMAE_TPU_ORBAX_ASYNC") == "1":
+        global _ASYNC_CKPTR
+        if _ASYNC_CKPTR is None:
+            import atexit
+
+            _ASYNC_CKPTR = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler())
+            atexit.register(_ASYNC_CKPTR.wait_until_finished)
+        return _ASYNC_CKPTR, False
+    return ocp.StandardCheckpointer(), True
+
+
+def wait_for_checkpoints() -> None:
+    """Drain any in-flight async orbax commit (no-op otherwise). The
+    CLIs call this after the training loop so a checkpoint written on
+    the last epoch is on disk before main() returns; atexit also drains
+    as a backstop."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def _save_orbax(output_dir, name, epoch, state, extras) -> str:
     """Sharded save: every host writes its own device shards (orbax
     coordinates the atomic rename across processes) — no gather, no
@@ -212,12 +244,16 @@ def _save_orbax(output_dir, name, epoch, state, extras) -> str:
 
         tree = jax.tree.map(globalize, tree)
     path = os.path.abspath(os.path.join(output_dir, f"{name}.orbax"))
-    ckptr = ocp.StandardCheckpointer()
+    ckptr, owns = _orbax_checkpointer()
     try:
-        ckptr.save(path, tree, force=True)
-        ckptr.wait_until_finished()
+        if owns:  # StandardCheckpointer: takes the tree directly
+            ckptr.save(path, tree, force=True)
+            ckptr.wait_until_finished()
+        else:  # AsyncCheckpointer over StandardCheckpointHandler
+            ckptr.save(path, args=ocp.args.StandardSave(tree), force=True)
     finally:
-        ckptr.close()
+        if owns:
+            ckptr.close()
     if _is_main():
         with open(path + ".meta.json", "w") as f:
             json.dump({"epoch": int(epoch)}, f)

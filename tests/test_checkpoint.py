@@ -78,6 +78,27 @@ def test_latest_picks_highest_epoch(tmp_path):
     assert latest_checkpoint(str(tmp_path)).endswith("checkpoint-10.msgpack")
 
 
+def test_orbax_async_save(tmp_path, monkeypatch):
+    """MULTIMAE_TPU_ORBAX_ASYNC=1: save returns early (post device->host
+    copy), the commit lands in the background; a drained save must load
+    back identically."""
+    import multimae_tpu.train.checkpoint as ckpt_mod
+
+    monkeypatch.setenv("MULTIMAE_TPU_ORBAX_ASYNC", "1")
+    state = _tiny_state(0)
+    save_checkpoint(str(tmp_path), 7, state, backend="orbax")
+    assert ckpt_mod._ASYNC_CKPTR is not None
+    ckpt_mod._ASYNC_CKPTR.wait_until_finished()
+    from multimae_tpu.train.checkpoint import load_checkpoint
+
+    restored, epoch = load_checkpoint(
+        str(tmp_path / "checkpoint-7.orbax"), _tiny_state(1))
+    assert epoch == 7
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
 def test_latest_spans_backends(tmp_path):
     state = _tiny_state(0)
     save_checkpoint(str(tmp_path), 1, state, backend="msgpack")
