@@ -150,6 +150,15 @@ def get_args(argv=None):
                              "Composes with data parallelism on the "
                              "remaining devices; add --fsdp for ZeRO-3 "
                              "param/moment sharding over 'data' on top")
+    parser.add_argument("--pipeline_parallel", default=1, type=int,
+                        help="GPipe pipeline stages over the 'stage' mesh "
+                             "axis (parallel/pp.py; encoder depth must "
+                             "divide). Composes with data parallelism on "
+                             "the remaining devices; exclusive with "
+                             "--model_parallel/--fsdp")
+    parser.add_argument("--pipeline_microbatches", default=0, type=int,
+                        help="Microbatches per pipeline step (default "
+                             "2 x stages; bubble = (S-1)/(M+S-1))")
 
     # Synthetic-data mode for benchmarking / smoke tests without a dataset
     parser.add_argument("--synthetic_data", action="store_true",
@@ -199,10 +208,19 @@ def main(args):
     from multimae_tpu.utils.logger import MetricLogger, WandbLogger, write_log_line
 
     mesh_lib.initialize_distributed()
-    mesh = mesh_lib.create_mesh(model=args.model_parallel)
+    if args.pipeline_parallel > 1:
+        if args.model_parallel > 1 or args.fsdp:
+            raise SystemExit("--pipeline_parallel is exclusive with "
+                             "--model_parallel/--fsdp")
+        from multimae_tpu.parallel import pp as pp_lib
+
+        mesh = pp_lib.create_pp_mesh(stage=args.pipeline_parallel)
+    else:
+        mesh = mesh_lib.create_mesh(model=args.model_parallel)
     n_devices = jax.device_count()
     print(f"devices: {n_devices} ({jax.devices()[0].platform})"
-          + (f", mesh {mesh.shape}" if args.model_parallel > 1 else ""))
+          + (f", mesh {mesh.shape}"
+             if args.model_parallel > 1 or args.pipeline_parallel > 1 else ""))
 
     if args.approx_gelu:
         from multimae_tpu.models.vit import set_approx_gelu
@@ -252,8 +270,10 @@ def main(args):
     balancer = build_balancer(args.task_balancer, out_tasks)
 
     # Data — batch_size is per data-parallel group (= per device unless
-    # --model_parallel>1 makes each group span a tensor-parallel set)
-    global_batch = args.batch_size * (n_devices // args.model_parallel)
+    # --model_parallel/--pipeline_parallel>1 makes each group span a
+    # tensor-parallel set / pipeline)
+    global_batch = args.batch_size * (
+        n_devices // (args.model_parallel * args.pipeline_parallel))
     if args.synthetic_data:
         num_steps_per_epoch = args.synthetic_steps_per_epoch
         dataset_len = global_batch * num_steps_per_epoch
@@ -374,6 +394,11 @@ def main(args):
         from multimae_tpu.parallel.tp import jit_tp
 
         dp_step = jit_tp(step_fn, state, mesh, fsdp=args.fsdp)
+    elif args.pipeline_parallel > 1:
+        from multimae_tpu.parallel import pp as pp_lib
+
+        n_micro = args.pipeline_microbatches or 2 * args.pipeline_parallel
+        dp_step = pp_lib.jit_pp(step_fn, mesh, n_micro)
     elif args.fsdp:
         from multimae_tpu.parallel.fsdp import jit_fsdp
 

@@ -152,6 +152,13 @@ class MultiMAE(nn.Module):
         return input_task_tokens, input_info
 
     def run_encoder(self, tokens: jnp.ndarray, train: bool, all_layers: bool = False):
+        from multimae_tpu.parallel import pp
+
+        if pp.active() and not all_layers and not self.is_initializing():
+            # GPipe over the 'stage' mesh axis (parallel/pp.py). Init and
+            # the all_layers (DPT hook) path keep the plain loop, so the
+            # param tree layout is identical across dp/fsdp/tp/pp.
+            return pp.pipelined_encoder(self, tokens, train)
         outs = []
         for blk in self.encoder:
             tokens = blk(tokens, deterministic=not train)

@@ -168,7 +168,11 @@ def data_shard_map(fn, n_data_args: int = 2):
     their cotangents psum, exactly as GSPMD would). Identity when no
     multi-device data mesh is registered (single chip, eager, CPU
     tests)."""
-    if constraint_data_size() <= 1:
+    from multimae_tpu.parallel import pp
+
+    if constraint_data_size() <= 1 or pp.inside_stage():
+        # Inside a pipeline-stage shard_map body the data is already
+        # per-device local — nesting another shard_map would error.
         return fn
     from jax import shard_map
 
@@ -191,7 +195,9 @@ def bnhd_shard_map(fn, tp_scoped: bool = False):
     (SCALING.md rule 3). Identity when no multi-device mesh is
     registered. Non-TP-scoped sites under a 2-D mesh replicate over
     'model' (same as the XLA path: no weight there is model-sharded)."""
-    if _CONSTRAINT_MESH is None:
+    from multimae_tpu.parallel import pp
+
+    if _CONSTRAINT_MESH is None or pp.inside_stage():
         return fn
     nd = constraint_data_size()
     nm = constraint_model_size() if tp_scoped else 1

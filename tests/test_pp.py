@@ -1,0 +1,93 @@
+"""Pipeline-parallel (stage-axis) pretrain step on the simulated 8-device mesh.
+
+The reference has no pipeline parallelism (SURVEY.md §2.4); parallel/pp.py
+is the TPU-native scaling extension: encoder blocks GPipe'd over the
+'stage' mesh axis (shard_map + ppermute + lax.scan), with jax deriving
+the reverse pipeline by transposition. These tests check the full
+schedule — stage-stacked weights, microbatch ticks, bubble masking, the
+last-stage collect/broadcast — against the single-device step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimae_tpu.parallel import pp
+from multimae_tpu.parallel.mesh import shard_batch, use_constraint_mesh
+from multimae_tpu.train.train_state import TrainState
+from test_tp import _build_setup
+
+
+def _cleanup():
+    pp.use_pipeline(None)
+    use_constraint_mesh(None)
+
+
+@pytest.mark.parametrize("n_micro", [1, 2])
+def test_pp_step_matches_single(n_micro):
+    assert jax.device_count() >= 8, "conftest must simulate 8 cpu devices"
+    params, tx, step_fn, batch = _build_setup()
+    try:
+        _cleanup()
+        state_ref = TrainState.create(
+            params=jax.tree.map(jnp.array, params), tx=tx)
+        state_ref, metrics_ref = jax.jit(step_fn)(
+            state_ref, batch, jax.random.PRNGKey(7))
+
+        mesh = pp.create_pp_mesh(stage=2)  # (data 4, stage 2); depth=2
+        state_pp = TrainState.create(
+            params=jax.tree.map(jnp.array, params), tx=tx)
+        pp_step = pp.jit_pp(step_fn, mesh, n_micro=n_micro)
+        state_pp, metrics_pp = pp_step(
+            state_pp, shard_batch(batch, mesh), jax.random.PRNGKey(7))
+
+        assert abs(float(metrics_ref["loss"]) - float(metrics_pp["loss"])) < 1e-5
+        diffs = jax.tree.map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+            state_ref.params, state_pp.params)
+        assert max(jax.tree.leaves(diffs)) < 2e-4
+    finally:
+        _cleanup()
+
+
+def test_pp_second_step_runs():
+    """Two chained steps (donated state) through the pipeline."""
+    params, tx, step_fn, batch = _build_setup()
+    try:
+        mesh = pp.create_pp_mesh(stage=2)
+        state = TrainState.create(params=jax.tree.map(jnp.array, params), tx=tx)
+        pp_step = pp.jit_pp(step_fn, mesh, n_micro=2)
+        sharded = shard_batch(batch, mesh)
+        state, m1 = pp_step(state, sharded, jax.random.PRNGKey(1))
+        state, m2 = pp_step(state, sharded, jax.random.PRNGKey(2))
+        assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+        assert float(m2["loss"]) != float(m1["loss"])
+    finally:
+        _cleanup()
+
+
+def test_pp_depth_divisibility_error():
+    params, tx, step_fn, batch = _build_setup()
+    try:
+        mesh = pp.create_pp_mesh(stage=8)  # tiny depth=2 % 8 != 0
+        pp_step = pp.jit_pp(step_fn, mesh, n_micro=1)
+        with pytest.raises(ValueError, match="not divisible"):
+            state = TrainState.create(
+                params=jax.tree.map(jnp.array, params), tx=tx)
+            pp_step(state, shard_batch(batch, mesh), jax.random.PRNGKey(0))
+    finally:
+        _cleanup()
+
+
+def test_pp_microbatch_divisibility_error():
+    params, tx, step_fn, batch = _build_setup()
+    try:
+        mesh = pp.create_pp_mesh(stage=2)  # data 4; B=8 -> local 2
+        pp_step = pp.jit_pp(step_fn, mesh, n_micro=3)  # 8 % (4*3) != 0
+        with pytest.raises(ValueError, match="not divisible"):
+            state = TrainState.create(
+                params=jax.tree.map(jnp.array, params), tx=tx)
+            pp_step(state, shard_batch(batch, mesh), jax.random.PRNGKey(0))
+    finally:
+        _cleanup()
