@@ -12,7 +12,8 @@ against the encoder dim, mirroring the reference's `adapter.init(...)`
 protocol at multimae/multimae.py:77-85).
 
 TPU-first notes:
-  * Token gather/scatter use take_along_axis on static shapes.
+  * Token gather/scatter use one-hot matmuls (ops/gather.py) — the MXU
+    eats them, and take_along_axis's backward is a slow scatter on TPU.
   * The visible-token count is a static Python int, so the encoder always
     runs a fixed (B, K+G, D) shape — XLA compiles one program.
   * `fp32_output_adapters` constructs those adapters with float32 compute

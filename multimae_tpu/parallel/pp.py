@@ -82,8 +82,20 @@ def create_pp_mesh(
 
 def use_pipeline(mesh: Optional[Mesh], n_micro: int = 0):
     """Register (or clear, with None) the pipeline config that
-    models.multimae.run_encoder consults during tracing."""
+    models.multimae.run_encoder consults during tracing.
+
+    Contract: this is a trace-time global — any trace that reaches
+    run_encoder while it is set takes the shard_map pipeline path.
+    `jit_pp` returns a wrapper that scopes the registration around each
+    call/lower, so callers normally never touch this directly; clear it
+    (use_pipeline(None)) if you register it by hand.
+    """
     global _PIPELINE
+    if mesh is not None and int(n_micro) < 1:
+        raise ValueError(
+            f"pipeline microbatch count must be >= 1, got {n_micro} "
+            "(--pipeline_microbatches)"
+        )
     _PIPELINE = None if mesh is None else (mesh, int(n_micro))
 
 
@@ -128,6 +140,21 @@ def pipelined_encoder(model, tokens: jnp.ndarray, train: bool) -> jnp.ndarray:
             "pipeline parallelism requires drop/attn_drop/drop_path == 0 "
             "during training (got a nonzero rate)"
         )
+
+    # Every stage applies blocks[0] as the template module, so all
+    # blocks must share the same static config — fail loudly on any
+    # heterogeneity instead of silently running layer i with block 0's
+    # hyperparameters.
+    _CFG_FIELDS = ("num_heads", "mlp_ratio", "qkv_bias", "drop",
+                   "attn_drop", "drop_path_rate", "dtype")
+    for i, b in enumerate(blocks[1:], start=1):
+        for f in _CFG_FIELDS:
+            a, v = getattr(blocks[0], f, None), getattr(b, f, None)
+            if a != v:
+                raise ValueError(
+                    f"pipeline parallelism requires homogeneous encoder "
+                    f"blocks; block {i}.{f}={v!r} != block 0.{f}={a!r}"
+                )
 
     # Stack the per-block param subtrees (identical structure by
     # construction) along a leading layer axis; shard_map slices
@@ -204,20 +231,57 @@ def pipelined_encoder(model, tokens: jnp.ndarray, train: bool) -> jnp.ndarray:
     return pipelined(stacked, tokens)
 
 
-def jit_pp(train_step, mesh: Mesh, n_micro: int):
+class _PipelinedStep:
+    """Wrapper around the pipelined jit that scopes the trace-time
+    registries (use_pipeline / use_constraint_mesh) to each call/lower:
+    jax may (re)trace inside either, and without scoping, a later trace
+    in the same process (eval, EMA, visualization) would silently take
+    the shard_map pipeline path. After any call returns, both
+    registries are restored to their prior values."""
+
+    def __init__(self, jitted, mesh: Mesh, n_micro: int):
+        self._jitted = jitted
+        self._mesh = mesh
+        self._n_micro = n_micro
+
+    def _scoped(self, fn, *args, **kwargs):
+        from multimae_tpu.parallel import mesh as mesh_lib
+
+        global _PIPELINE
+        prev_pipe = _PIPELINE
+        prev_mesh = mesh_lib._CONSTRAINT_MESH
+        mesh_lib.use_constraint_mesh(self._mesh)
+        use_pipeline(self._mesh, self._n_micro)
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            _PIPELINE = prev_pipe
+            mesh_lib.use_constraint_mesh(prev_mesh)
+
+    def __call__(self, *args, **kwargs):
+        return self._scoped(self._jitted, *args, **kwargs)
+
+    def lower(self, *args, **kwargs):
+        return self._scoped(self._jitted.lower, *args, **kwargs)
+
+
+def jit_pp(train_step, mesh: Mesh, n_micro: int) -> _PipelinedStep:
     """jit the step pipeline-parallel: params replicated, batch sharded
     on 'data', the encoder trunk GPipe'd over 'stage' (the run_encoder
-    hook fires because `use_pipeline` is registered here)."""
-    from multimae_tpu.parallel.mesh import use_constraint_mesh
-
+    hook fires during tracing because the returned wrapper registers
+    `use_pipeline` around each call, and clears it after)."""
     assert mesh.shape[STAGE_AXIS] > 1, "use jit_data_parallel for stage=1"
-    use_constraint_mesh(mesh)
-    use_pipeline(mesh, n_micro)
+    if int(n_micro) < 1:
+        raise ValueError(
+            f"pipeline microbatch count must be >= 1, got {n_micro} "
+            "(--pipeline_microbatches)"
+        )
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.jit(
+    jitted = jax.jit(
         train_step,
         in_shardings=(repl, data, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+    return _PipelinedStep(jitted, mesh, n_micro)
