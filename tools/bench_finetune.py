@@ -198,8 +198,10 @@ def measure(args, label):
                                      in_domains=in_domains)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from multimae_tpu.parallel.mesh import data_sharding
+
     repl = NamedSharding(mesh, P())
-    data_sh = NamedSharding(mesh, P("data"))
+    data_sh = data_sharding(mesh)
     dp_step = jax.jit(step, in_shardings=(repl, data_sh, repl),
                       out_shardings=(repl, repl), donate_argnums=(0,))
     batch = shard_batch(batch, mesh)
@@ -234,6 +236,10 @@ def main():
     ap.add_argument("--input_size", type=int, default=None)
     ap.add_argument("--num_classes", type=int, default=150)
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--engine", choices=("both", "pallas", "dense"),
+                    default="both",
+                    help="measure only one attention engine (skips the "
+                         "other leg's multi-minute TPU compile)")
     args = ap.parse_args()
     if args.input_size is None:
         args.input_size = {"semseg": 512, "depth": 256, "cls": 224}[args.task]
@@ -253,13 +259,18 @@ def main():
         return
 
     # Engine A: auto-dispatch (short-attention Pallas kernel for kv>=512).
-    pallas = measure(args, "pallas_auto")
+    if args.engine != "dense":
+        pallas = measure(args, "pallas_auto")
+        if args.engine == "pallas":
+            return
     # Engine B: XLA dense einsum forced (module attr: the env var is only
     # read at import time).
     import multimae_tpu.ops.attention as attn
 
     attn.SHORT_KERNEL_MIN_KV = 10**9
     dense = measure(args, "xla_dense")
+    if args.engine == "dense":
+        return
     print(json.dumps({
         "metric": f"finetune_{args.task}_{args.input_size}px_pallas_speedup",
         "value": round(pallas / dense, 4),
