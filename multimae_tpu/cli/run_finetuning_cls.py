@@ -430,7 +430,9 @@ def main(args):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
-    data_sh = NamedSharding(mesh, P("data"))
+    from multimae_tpu.parallel.mesh import data_sharding
+
+    data_sh = data_sharding(mesh)
     if args.model_parallel > 1:
         from multimae_tpu.parallel.tp import (
             jit_tp,

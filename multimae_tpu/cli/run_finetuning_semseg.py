@@ -390,7 +390,9 @@ def main(args):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
-    data_sh = NamedSharding(mesh, P("data"))
+    from multimae_tpu.parallel.mesh import data_sharding
+
+    data_sh = data_sharding(mesh)
     train_step = make_dense_train_step(
         model, "semseg", seg_cross_entropy, in_domains=tuple(in_domains),
         clip_grad=args.clip_grad,

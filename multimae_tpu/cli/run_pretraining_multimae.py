@@ -159,6 +159,15 @@ def get_args(argv=None):
     parser.add_argument("--pipeline_microbatches", default=0, type=int,
                         help="Microbatches per pipeline step (default "
                              "2 x stages; bubble = (S-1)/(M+S-1))")
+    parser.add_argument("--dcn_data_parallel", default=0, type=int,
+                        help="Multi-slice pods: number of DCN-connected "
+                             "slices; builds a hybrid ('dcn','data','model') "
+                             "mesh (parallel/mesh.create_hybrid_mesh) where "
+                             "only plain batch data parallelism crosses DCN "
+                             "and --fsdp/--model_parallel collectives stay "
+                             "on ICI inside one slice. -1 = auto-detect "
+                             "slices from the device topology. Exclusive "
+                             "with --pipeline_parallel")
 
     # Synthetic-data mode for benchmarking / smoke tests without a dataset
     parser.add_argument("--synthetic_data", action="store_true",
@@ -209,18 +218,25 @@ def main(args):
 
     mesh_lib.initialize_distributed()
     if args.pipeline_parallel > 1:
-        if args.model_parallel > 1 or args.fsdp:
+        if args.model_parallel > 1 or args.fsdp or args.dcn_data_parallel:
             raise SystemExit("--pipeline_parallel is exclusive with "
-                             "--model_parallel/--fsdp")
+                             "--model_parallel/--fsdp/--dcn_data_parallel")
         from multimae_tpu.parallel import pp as pp_lib
 
         mesh = pp_lib.create_pp_mesh(stage=args.pipeline_parallel)
+    elif args.dcn_data_parallel:
+        mesh = mesh_lib.create_hybrid_mesh(
+            dcn=(None if args.dcn_data_parallel < 0
+                 else args.dcn_data_parallel),
+            model=args.model_parallel,
+        )
     else:
         mesh = mesh_lib.create_mesh(model=args.model_parallel)
     n_devices = jax.device_count()
     print(f"devices: {n_devices} ({jax.devices()[0].platform})"
           + (f", mesh {mesh.shape}"
-             if args.model_parallel > 1 or args.pipeline_parallel > 1 else ""))
+             if args.model_parallel > 1 or args.pipeline_parallel > 1
+             or args.dcn_data_parallel else ""))
 
     if args.approx_gelu:
         from multimae_tpu.models.vit import set_approx_gelu

@@ -10,6 +10,11 @@ Usage: pass `fsdp=True` to the step jitters, or build shardings with
 `fsdp_shardings(tree, mesh)` and feed them to jax.jit in/out_shardings.
 Small tensors (< min_size elements) stay replicated — gathering them
 costs more than the memory saved.
+
+On a hybrid ('dcn', 'data', 'model') mesh (mesh.create_hybrid_mesh),
+params shard over the INNER 'data' axis only — the per-step parameter
+all-gathers stay on ICI inside one slice; only the plain gradient
+reduction crosses DCN. The batch still shards over ('dcn', 'data').
 """
 
 from __future__ import annotations
@@ -20,7 +25,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from multimae_tpu.parallel.mesh import DATA_AXIS
+from multimae_tpu.parallel.mesh import DATA_AXIS, data_sharding
 
 
 def _leaf_spec(shape, mesh_size: int, min_size: int) -> P:
@@ -58,7 +63,7 @@ def jit_fsdp(train_step, state, mesh: Mesh, min_size: int = 2**15):
 
     use_constraint_mesh(mesh)
     state_sh = fsdp_shardings(state, mesh, min_size)
-    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    data_sh = data_sharding(mesh)
     repl = NamedSharding(mesh, P())
     return jax.jit(
         train_step,

@@ -6,10 +6,22 @@ annotate shardings, and XLA emits the gradient psums over ICI/DCN inside
 the jitted train step.
 
 Axes:
+  * 'dcn'   — optional LEADING axis for multi-slice pods: pure data
+              parallelism across slices/hosts connected by DCN (the
+              TPU-native analogue of the reference's multi-node DDP,
+              utils/dist.py:62-93). Only plain batch sharding crosses
+              it — gradient all-reduces hierarchically reduce inside a
+              slice over ICI first, then once over DCN.
   * 'data'  — batch sharding (the reference's only parallelism, DDP;
-              utils/dist.py:87-92)
+              utils/dist.py:87-92). FSDP (ZeRO-3) shards params over
+              THIS axis only, so parameter all-gathers ride ICI.
   * 'model' — optional tensor-parallel axis (not required for parity;
               reserved so fsdp/tp variants can slot in without API churn)
+
+Flat meshes are ('data', 'model'); `create_hybrid_mesh` prepends 'dcn'.
+Batch tensors shard dim 0 over the combined ('dcn', 'data') axes —
+every helper below resolves that through `batch_axes(mesh)`, so model
+and step code never hard-code the axis list.
 """
 
 from __future__ import annotations
@@ -23,6 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+DCN_AXIS = "dcn"
 
 
 def create_mesh(
@@ -40,9 +53,71 @@ def create_mesh(
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
+def create_hybrid_mesh(
+    dcn: Optional[int] = None,
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """('dcn', 'data', 'model') mesh for multi-slice pods.
+
+    Devices are grouped by slice (device.slice_index when the runtime
+    exposes it, else process_index) so that the 'data' and 'model' axes
+    stay INSIDE one slice — their collectives (FSDP param all-gathers,
+    Megatron psums) ride ICI — while only the plain gradient reduction
+    of data parallelism crosses the slower DCN links, once, as the
+    outer stage of a hierarchical all-reduce. This is the TPU-native
+    analogue of the reference's multi-node DDP (utils/dist.py:62-93).
+
+    `dcn` overrides slice discovery (e.g. simulating 2 slices on an
+    8-device CPU host): the device list is split into `dcn` equal
+    contiguous groups. Group order is sorted by slice id, devices
+    within a group keep backend order.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dcn is None:
+        # Group by the runtime's slice topology. On TPU, slice_index
+        # varies across DCN-connected slices but NOT across the hosts
+        # of one (multi-host) slice — those are one ICI domain and must
+        # stay in one group. On CPU (tests / simulation) slice_index is
+        # constant, so fall back to process_index: separate processes
+        # are the simulated DCN boundary.
+        def key_fn(d):
+            if d.platform != "cpu":
+                return getattr(d, "slice_index", 0) or 0
+            return d.process_index
+
+        groups: dict = {}
+        for d in devices:
+            groups.setdefault(key_fn(d), []).append(d)
+        ordered = [groups[k] for k in sorted(groups)]
+        dcn = len(ordered)
+        sizes = {len(g) for g in ordered}
+        assert len(sizes) == 1, f"unequal slice sizes {sizes}"
+        devices = [d for g in ordered for d in g]
+    assert n % dcn == 0, f"{n} devices not divisible into {dcn} slices"
+    per_slice = n // dcn
+    if data is None:
+        data = per_slice // model
+    assert dcn * data * model == n, (
+        f"mesh {dcn}x{data}x{model} != {n} devices")
+    dev_array = np.asarray(devices).reshape(dcn, data, model)
+    return Mesh(dev_array, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
+def batch_axes(mesh: Optional[Mesh]):
+    """The mesh axes a batch dim shards over: ('dcn', 'data') on hybrid
+    meshes, plain 'data' otherwise. Usable directly as one entry of a
+    PartitionSpec."""
+    if mesh is not None and DCN_AXIS in mesh.axis_names:
+        return (DCN_AXIS, DATA_AXIS)
+    return DATA_AXIS
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch tensors: leading dim sharded over 'data'."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Batch tensors: leading dim sharded over 'data' (x 'dcn')."""
+    return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
 # --- batch-sharding constraints inside traced model code ---------------
@@ -73,21 +148,22 @@ def constrain_batch_sharded(x):
     traced after a mesh was registered by an earlier jit helper."""
     if _CONSTRAINT_MESH is None:
         return x
-    n_data = _CONSTRAINT_MESH.shape.get(DATA_AXIS, 1)
+    n_data = constraint_data_size()
     if n_data <= 1 or x.shape[0] % n_data:
         return x
-    spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+    spec = P(batch_axes(_CONSTRAINT_MESH), *([None] * (x.ndim - 1)))
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(_CONSTRAINT_MESH, spec)
     )
 
 
 def constraint_data_size() -> int:
-    """Size of the data axis of the registered constraint mesh (1 if no
-    mesh is registered)."""
+    """Total batch-sharding ways of the registered constraint mesh —
+    data x dcn on hybrid meshes (1 if no mesh is registered)."""
     if _CONSTRAINT_MESH is None:
         return 1
-    return int(_CONSTRAINT_MESH.shape.get(DATA_AXIS, 1))
+    return int(_CONSTRAINT_MESH.shape.get(DATA_AXIS, 1)
+               * _CONSTRAINT_MESH.shape.get(DCN_AXIS, 1))
 
 
 def constraint_model_size() -> int:
@@ -131,9 +207,9 @@ def constrain_tp(x, dim: int, path: Optional[Sequence[str]] = None):
         return x
     spec = [None] * x.ndim
     spec[dim] = MODEL_AXIS
-    n_data = _CONSTRAINT_MESH.shape.get(DATA_AXIS, 1)
+    n_data = constraint_data_size()
     if dim != 0 and n_data > 1 and x.shape[0] % n_data == 0:
-        spec[0] = DATA_AXIS
+        spec[0] = batch_axes(_CONSTRAINT_MESH)
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(_CONSTRAINT_MESH, P(*spec))
     )
@@ -176,10 +252,11 @@ def data_shard_map(fn, n_data_args: int = 2):
         return fn
     from jax import shard_map
 
+    bspec = P(batch_axes(_CONSTRAINT_MESH))
     return shard_map(
         fn, mesh=_CONSTRAINT_MESH,
-        in_specs=tuple(P(DATA_AXIS) for _ in range(n_data_args)) + (P(),),
-        out_specs=P(DATA_AXIS),
+        in_specs=tuple(bspec for _ in range(n_data_args)) + (P(),),
+        out_specs=bspec,
         check_vma=False,
     )
 
@@ -205,7 +282,7 @@ def bnhd_shard_map(fn, tp_scoped: bool = False):
         return fn
     from jax import shard_map
 
-    spec = P(DATA_AXIS if nd > 1 else None, None,
+    spec = P(batch_axes(_CONSTRAINT_MESH) if nd > 1 else None, None,
              MODEL_AXIS if nm > 1 else None, None)
     return shard_map(
         fn, mesh=_CONSTRAINT_MESH,

@@ -37,7 +37,12 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from multimae_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, TP_SCOPE_RE
+from multimae_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    TP_SCOPE_RE,
+    data_sharding,
+)
 
 # Weight shardings below and activation constraints (mesh.constrain_tp,
 # called with the flax module path from vit.py) must cover the SAME
@@ -151,7 +156,7 @@ def jit_tp(train_step, state, mesh: Mesh, fsdp: bool = False,
     use_constraint_mesh(mesh)
     state_sh = tp_state_shardings(state, mesh, fsdp=fsdp,
                                   min_size=min_size)
-    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    data_sh = data_sharding(mesh)
     repl = NamedSharding(mesh, P())
     return jax.jit(
         train_step,

@@ -188,13 +188,13 @@ def jit_data_parallel(train_step, mesh):
     """jit the step with params replicated and the batch sharded on 'data'."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from multimae_tpu.parallel.mesh import use_constraint_mesh
+    from multimae_tpu.parallel.mesh import data_sharding, use_constraint_mesh
 
     # Register the mesh so in-model batch constraints
     # (mesh.constrain_batch_sharded) resolve during tracing.
     use_constraint_mesh(mesh)
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
+    data = data_sharding(mesh)
     return jax.jit(
         train_step,
         in_shardings=(repl, data, repl),

@@ -132,6 +132,56 @@ def main():
         np.testing.assert_array_equal(np.asarray(st3.params["w"]), w_global)
         assert bytes(ex3["data_iter_state"]) == my_iter_state, ex3
 
+    # 5. Hybrid ICI x DCN mesh (parallel/mesh.create_hybrid_mesh):
+    # slice auto-discovery groups devices by process -> 2 simulated
+    # slices x 4 devices; a global-batch train step over the hybrid
+    # mesh must equal the numpy reference, and FSDP shardings must stay
+    # inside the slice ('data' axis only — never 'dcn').
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimae_tpu.parallel.fsdp import fsdp_shardings
+
+    hmesh = mesh_lib.create_hybrid_mesh()
+    assert dict(hmesh.shape) == {"dcn": 2, "data": 4, "model": 1}, hmesh
+    for i in range(2):
+        assert all(d.process_index == i for d in hmesh.devices[i].flat), (
+            "slice rows must be single-process")
+
+    w_np = np.linspace(-1.0, 1.0, 8, dtype=np.float32).reshape(8, 1)
+    x_np = (np.arange(16 * 8, dtype=np.float32).reshape(16, 8) / 100.0)
+
+    def hstep(w, x):
+        def loss_fn(w):
+            return ((x @ w) ** 2).mean()
+
+        loss, g = jax.value_and_grad(loss_fn)(w)
+        return w - 0.1 * g, loss
+
+    data_sh = mesh_lib.data_sharding(hmesh)
+    repl_h = NamedSharding(hmesh, P())
+    x_h = jax.make_array_from_callback((16, 8), data_sh,
+                                       lambda idx: x_np[idx])
+    w_h = jax.make_array_from_callback((8, 1), repl_h,
+                                       lambda idx: w_np[idx])
+    w2, loss = jax.jit(
+        hstep, in_shardings=(repl_h, data_sh),
+        out_shardings=(repl_h, repl_h),
+    )(w_h, x_h)
+    y = x_np @ w_np
+    loss_ref = float((y ** 2).mean())
+    g_ref = (2.0 / y.size) * (x_np.T @ y)
+    assert abs(float(loss) - loss_ref) < 1e-6 * max(1.0, abs(loss_ref))
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(w2)), w_np - 0.1 * g_ref,
+        rtol=1e-5, atol=1e-7,
+    )
+    for sh in jax.tree.leaves(
+        fsdp_shardings({"w": np.zeros((16, 8), np.float32)}, hmesh,
+                       min_size=1)
+    ):
+        for entry in sh.spec:
+            assert entry in (None, "data"), sh.spec
+
     print(f"MP_OK {rank}", flush=True)
 
 
