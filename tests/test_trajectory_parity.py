@@ -243,6 +243,147 @@ def test_50_step_cls_finetune_trajectory_tracks_reference():
 
 
 @requires_reference
+def test_50_step_taskonomy_trajectory_tracks_reference():
+    """Taskonomy fine-tune trajectory: rgb -> surface-normal DPT head
+    under the reference's masked L1 (run_finetuning_taskonomy.py:57-64,
+    398-400) over 50 AdamW steps on identical weights/data/masks."""
+    import torch
+
+    from multimae_tpu.models import (
+        DPTOutputAdapter,
+        MultiViT,
+        PatchedInputAdapter,
+    )
+    from multimae_tpu.train.finetune_step import make_dense_train_step
+    from multimae_tpu.train.optim_factory import create_optimizer
+    from multimae_tpu.train.regression_losses import masked_l1_loss
+    from multimae_tpu.train.schedules import as_optax_schedule, cosine_scheduler
+    from multimae_tpu.train.train_state import TrainState
+    from multimae_tpu.utils.torch_compat import state_dict_to_params
+
+    from multimae.input_adapters import PatchedInputAdapter as RefPatched
+    from multimae.multimae import MultiViT as RefMultiViT
+    from multimae.output_adapters import DPTOutputAdapter as RefDPT
+
+    # The reference's masked_l1_loss lives in its top-level script
+    # (run_finetuning_taskonomy.py:57-64), whose module-level imports
+    # need wandb etc. — execute just that function's source.
+    import ast
+
+    _src = open("/root/reference/run_finetuning_taskonomy.py").read()
+    _fn_src = next(
+        ast.get_source_segment(_src, n) for n in ast.parse(_src).body
+        if isinstance(n, ast.FunctionDef) and n.name == "masked_l1_loss"
+    )
+    _ns = {"torch": torch}
+    exec(_fn_src, _ns)
+    ref_masked_l1 = _ns["masked_l1_loss"]
+
+    N_STEPS, DEPTH, DIM = 50, 4, 64
+    HOOKS, LAYER_DIMS = [0, 1, 2, 3], [16, 32, 64, 128]
+    rng_np = np.random.default_rng(13)
+    data = [rng_np.standard_normal((2, IMG, IMG, 3)).astype(np.float32)
+            for _ in range(N_STEPS)]
+    targets = [rng_np.standard_normal((2, IMG, IMG, 3)).astype(np.float32)
+               for _ in range(N_STEPS)]
+    masks = [(rng_np.random((2, IMG, IMG, 1)) > 0.2).astype(np.float32)
+             for _ in range(N_STEPS)]
+
+    base_lr, wd = 1e-3, 0.05
+    betas, eps = (0.9, 0.999), 1e-8
+    lr_values = cosine_scheduler(
+        base_lr, 1e-5, epochs=1, niter_per_ep=N_STEPS, warmup_steps=5
+    )
+
+    torch.manual_seed(4)
+    ref = RefMultiViT(
+        input_adapters={
+            "rgb": RefPatched(num_channels=3, stride_level=1,
+                              patch_size_full=PATCH, image_size=IMG)
+        },
+        output_adapters={
+            "normal": RefDPT(num_classes=3, main_tasks=["rgb"],
+                             head_type="regression", patch_size=PATCH,
+                             hooks=HOOKS, layer_dims=LAYER_DIMS)
+        },
+        dim_tokens=DIM, depth=DEPTH, num_heads=4,
+    )
+
+    ours = MultiViT(
+        input_adapters={
+            "rgb": functools.partial(
+                PatchedInputAdapter, num_channels=3, stride_level=1,
+                patch_size_full=PATCH, image_size=IMG,
+            )
+        },
+        output_adapters={
+            "normal": functools.partial(
+                DPTOutputAdapter, num_classes=3, main_tasks=("rgb",),
+                head_type="regression", patch_size=PATCH,
+                hooks=tuple(HOOKS), layer_dims=tuple(LAYER_DIMS),
+            )
+        },
+        dim_tokens=DIM, depth=DEPTH, num_heads=4,
+    )
+    x0 = {"rgb": jnp.asarray(data[0])}
+    template = jax.eval_shape(
+        lambda: ours.init({"params": jax.random.PRNGKey(0)}, x0)
+    )["params"]
+    template = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), template)
+    params, report = state_dict_to_params(
+        {k: v.numpy() for k, v in ref.state_dict().items()}, template,
+        head_type="regression",
+    )
+    assert not report["missing"] and not report["unexpected"], report
+
+    tx = create_optimizer(
+        params, opt="adamw", lr_schedule=as_optax_schedule(lr_values),
+        weight_decay=wd, opt_betas=betas, opt_eps=eps,
+        filter_bias_and_bn=True,
+    )
+    state = TrainState.create(params=params, tx=tx)
+    jit_step = jax.jit(make_dense_train_step(
+        ours, "normal", masked_l1_loss, in_domains=("rgb",),
+        needs_target_kwargs=True,
+    ))
+    key = jax.random.PRNGKey(9)
+    ours_losses = []
+    for i in range(N_STEPS):
+        batch = {"rgb": jnp.asarray(data[i]),
+                 "target": jnp.asarray(targets[i]),
+                 "mask_valid": jnp.asarray(masks[i])}
+        state, metrics = jit_step(state, batch, key)
+        ours_losses.append(float(metrics["loss"]))
+
+    # ---- reference loop (torch, param groups as the reference CLI) ----
+    from utils.optim_factory import get_parameter_groups as ref_param_groups
+
+    skip = ref.no_weight_decay() if hasattr(ref, "no_weight_decay") else set()
+    groups = ref_param_groups(ref, wd, skip)
+    opt = torch.optim.AdamW(groups, lr=base_lr, betas=betas, eps=eps)
+    ref.train()
+    ref_losses = []
+    for i in range(N_STEPS):
+        for g in opt.param_groups:
+            g["lr"] = float(lr_values[i]) * g.get("lr_scale", 1.0)
+        x_t = torch.from_numpy(data[i]).permute(0, 3, 1, 2)
+        pred = ref(x_t, return_all_layers=True)["normal"]
+        loss = ref_masked_l1(
+            pred.float(),
+            torch.from_numpy(targets[i]).permute(0, 3, 1, 2),
+            torch.from_numpy(masks[i]).permute(0, 3, 1, 2).bool(),
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss.detach()))
+
+    np.testing.assert_allclose(
+        np.array(ours_losses), np.array(ref_losses), rtol=1.5e-2, atol=1e-3
+    )
+
+
+@requires_reference
 def test_50_step_loss_trajectory_tracks_reference():
     import torch
 

@@ -107,6 +107,33 @@ def build_cls(args, dtype):
     )
 
 
+def build_taskonomy(args, dtype):
+    """Taskonomy recipe shape: rgb@384 -> surface-normal DPT regression
+    head, masked L1 (reference run_finetuning_taskonomy.py:130-160,
+    398-400: batch 32/GPU, in rgb, out normal, dpt adapter)."""
+    import functools
+
+    from multimae_tpu.models import DPTOutputAdapter, PatchedInputAdapter
+    from multimae_tpu.models.registry import create_model
+
+    input_adapters = {
+        "rgb": functools.partial(
+            PatchedInputAdapter, num_channels=3, stride_level=1,
+            patch_size_full=16, image_size=args.input_size,
+        ),
+    }
+    output_adapters = {
+        "normal": functools.partial(
+            DPTOutputAdapter, head_type="regression", stride_level=1,
+            num_classes=3, patch_size=16, main_tasks=("rgb",),
+        )
+    }
+    return create_model(
+        "multivit_base", input_adapters=input_adapters,
+        output_adapters=output_adapters, drop_path_rate=0.1, dtype=dtype,
+    )
+
+
 def measure(args, label):
     import jax
     import jax.numpy as jnp
@@ -124,7 +151,20 @@ def measure(args, label):
     s = args.input_size
 
     rng = jax.random.PRNGKey(0)
-    if args.task == "depth":
+    if args.task == "taskonomy":
+        from multimae_tpu.train.regression_losses import masked_l1_loss
+
+        model = build_taskonomy(args, jnp.bfloat16)
+        batch = {
+            "rgb": jax.random.normal(rng, (b, s, s, 3), jnp.float32),
+            "target": jax.random.normal(
+                jax.random.PRNGKey(1), (b, s, s, 3), jnp.float32),
+            "mask_valid": (jax.random.uniform(
+                jax.random.PRNGKey(2), (b, s, s, 1)) > 0.1
+            ).astype(jnp.float32),
+        }
+        task, loss_fn, in_domains = "normal", masked_l1_loss, ("rgb",)
+    elif args.task == "depth":
         from multimae_tpu.train.regression_losses import masked_berhu_loss
 
         model = build_depth(args, jnp.bfloat16)
@@ -194,8 +234,9 @@ def measure(args, label):
 
         step = make_cls_train_step(model, loss_fn)
     else:
-        step = make_dense_train_step(model, task, loss_fn,
-                                     in_domains=in_domains)
+        step = make_dense_train_step(
+            model, task, loss_fn, in_domains=in_domains,
+            needs_target_kwargs=(args.task == "taskonomy"))
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from multimae_tpu.parallel.mesh import data_sharding
@@ -226,12 +267,14 @@ def measure(args, label):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", choices=("semseg", "depth", "cls"),
+    ap.add_argument("--task", choices=("semseg", "depth", "cls", "taskonomy"),
                     default="semseg",
                     help="semseg: rgb+depth@512 ConvNeXt head (ADE/NYU "
                          "recipe); depth: rgb@256 DPT regression head "
                          "(NYUv2 depth recipe); cls: rgb@224 linear head "
-                         "(ImageNet-1K 100e recipe)")
+                         "(ImageNet-1K 100e recipe); taskonomy: rgb@384 "
+                         "surface-normal DPT head, masked L1 (taskonomy "
+                         "recipe)")
     ap.add_argument("--batch", type=int, default=None, help="per-chip batch")
     ap.add_argument("--input_size", type=int, default=None)
     ap.add_argument("--num_classes", type=int, default=150)
@@ -242,9 +285,11 @@ def main():
                          "other leg's multi-minute TPU compile)")
     args = ap.parse_args()
     if args.input_size is None:
-        args.input_size = {"semseg": 512, "depth": 256, "cls": 224}[args.task]
+        args.input_size = {"semseg": 512, "depth": 256, "cls": 224,
+                           "taskonomy": 384}[args.task]
     if args.batch is None:
-        args.batch = {"semseg": 16, "depth": 32, "cls": 128}[args.task]
+        args.batch = {"semseg": 16, "depth": 32, "cls": 128,
+                      "taskonomy": 32}[args.task]
     if args.task == "cls":
         args.num_classes = 1000
 
