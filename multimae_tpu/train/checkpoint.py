@@ -284,8 +284,32 @@ def load_checkpoint(path: str, state, with_extras: bool = False):
     """Restore a TrainState (+epoch) from a saved msgpack.
 
     Returns (state, epoch) or (state, epoch, extras) with with_extras.
+
+    `.pth` paths are reference-format torch checkpoints: params warm-start
+    through torch_compat (the torch Adam moments have no optax layout
+    here, so optimizer state restarts fresh) and the stored epoch is
+    honored, mirroring the model/epoch part of the reference's resume
+    (reference utils/checkpoint.py:103-134 auto_load_model).
     """
     path = resolve_checkpoint_path(path)
+    if path.endswith(".pth"):
+        import torch
+
+        payload = torch.load(path, map_location="cpu", weights_only=True)
+        epoch = int(payload.get("epoch", -1)) if isinstance(payload, dict) else -1
+        template = state.params
+        # Pretrain states nest the model under params["model"] next to
+        # the balancer; fine-tune states are the bare model tree.
+        nested = isinstance(template, dict) and "model" in template
+        model_tpl = template["model"] if nested else template
+        loaded, _ = load_pretrained_torch(path, model_tpl)
+        params = {**template, "model": loaded} if nested else loaded
+        print("[checkpoint] torch .pth resume: params + epoch restored; "
+              "optimizer state restarts fresh")
+        new_state = state.replace(params=params)
+        if with_extras:
+            return new_state, epoch, {}
+        return new_state, epoch
     if path.endswith(".orbax") or os.path.isdir(path):
         payload = _orbax_restore_payload(path)
         stem = path[: -len(".orbax")] if path.endswith(".orbax") else path
