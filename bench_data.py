@@ -21,8 +21,19 @@ Prints ONE JSON line:
   {"metric": "input_pipeline_per_core", "value": R, "unit":
    "samples/sec/core", "vs_baseline": headroom_ratio}
 
-Usage: python bench_data.py [--root DIR] [--n 300] [--samples 400]
-       [--workers 0] [--imagenet_sizes]
+--regime selects which REAL host path is measured (VERDICT round-3 #7):
+  pretrain   224px DataAugmentationForMultiMAE over rgb+depth+semseg
+             (default; compute baseline = BENCH_BASELINE.json)
+  semseg512  the 512px LSJ fine-tune path (DataAugmentationForSemSeg:
+             hflip + LongestMaxSize + RandomScale(0.1,2) + color jitter
+             + crop/pad-to-512, cv2/numpy) over rgb+depth+semseg
+             (compute baseline = 39.5 samples/s/chip, bench_finetune)
+  cls        the ImageNet-100e path (ClsTrainTransform: RandomResizedCrop
+             + RandAugment rand-m9-mstd0.5-inc1 + RandomErasing) over
+             rgb only (compute baseline = 745.5 samples/s/chip)
+
+Usage: python bench_data.py [--regime pretrain|semseg512|cls] [--root DIR]
+       [--n 300] [--samples 400] [--workers 0] [--compute RATE]
 """
 
 import argparse
@@ -85,8 +96,16 @@ def synthesize_dataset(root: str, n: int, seed: int = 0):
         f.write("ok")
 
 
+# Fine-tune compute baselines (samples/s/chip on v5e-1, CLAUDE.md):
+# semseg512 from tools/bench_finetune.py --task semseg, cls from
+# --task cls at the ImageNet-100e recipe shape.
+_COMPUTE_DEFAULTS = {"semseg512": 39.5, "cls": 745.5}
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--regime", default="pretrain",
+                    choices=("pretrain", "semseg512", "cls"))
     ap.add_argument("--root", default="/tmp/multimae_bench_data")
     ap.add_argument("--n", type=int, default=300, help="dataset size")
     ap.add_argument("--samples", type=int, default=400,
@@ -94,6 +113,10 @@ def main():
     ap.add_argument("--workers", type=int, default=0,
                     help="grain worker processes (0 = in-process)")
     ap.add_argument("--batch_size", type=int, default=128)
+    ap.add_argument("--compute", type=float, default=None,
+                    help="compute samples/s/chip to compare against "
+                         "(default: BENCH_BASELINE.json for pretrain, "
+                         "pinned bench_finetune numbers otherwise)")
     args = ap.parse_args()
 
     # Keep JAX off the accelerator: this benchmark is host-only (the
@@ -103,14 +126,47 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
 
-    from multimae_tpu.data.dataset_folder import MultiTaskImageFolder
+    from multimae_tpu.data.dataset_folder import ImageFolder, MultiTaskImageFolder
     from multimae_tpu.data.loader import build_loader
     from multimae_tpu.data.pretrain_transforms import DataAugmentationForMultiMAE
     from multimae_tpu import native
 
     synthesize_dataset(args.root, args.n)
-    dataset = MultiTaskImageFolder(args.root, ["rgb", "depth", "semseg"])
-    transform = DataAugmentationForMultiMAE(input_size=224)
+    if args.regime == "semseg512":
+        from multimae_tpu.data.semseg_transforms import (
+            DataAugmentationForSemSeg,
+            SimpleTransform,
+        )
+
+        dataset = MultiTaskImageFolder(args.root, ["rgb", "depth", "semseg"])
+        transform = DataAugmentationForSemSeg(
+            SimpleTransform(train=True, input_size=512),
+            seg_num_classes=133,
+        )
+    elif args.regime == "cls":
+        from multimae_tpu.data.cls_transforms import ClsTrainTransform
+
+        cls_ds = ImageFolder(os.path.join(args.root, "rgb"))
+        cls_tf = ClsTrainTransform(input_size=224)
+
+        class _ClsAsMultiTask:
+            """load_raw -> ({'rgb': PIL}, target) so the timing loop below
+            is regime-agnostic; transform unwraps the dict."""
+
+            def __len__(self):
+                return len(cls_ds)
+
+            def load_raw(self, i):
+                path, target = cls_ds.samples[i]
+                from multimae_tpu.data.dataset_folder import pil_loader
+
+                return {"rgb": pil_loader(path)}, target
+
+        dataset = _ClsAsMultiTask()
+        transform = lambda d, rng=None: {"rgb": cls_tf(d["rgb"], rng)}  # noqa: E731
+    else:
+        dataset = MultiTaskImageFolder(args.root, ["rgb", "depth", "semseg"])
+        transform = DataAugmentationForMultiMAE(input_size=224)
 
     # --- stage breakdown (single core, in-process) ---
     idxs = np.arange(args.samples) % len(dataset)
@@ -136,24 +192,27 @@ def main():
     t_total = time.perf_counter() - t0
     per_core = args.samples / t_total
 
-    # --- grain end-to-end (batched) ---
-    loader = build_loader(
-        dataset, transform, global_batch_size=args.batch_size,
-        shuffle=True, seed=0, num_epochs=None, worker_count=args.workers,
-    )
-    nb_warm = 1
-    nb = max(2, (args.samples // args.batch_size))
-    for _ in range(nb_warm):
-        next(loader)
-    t0 = time.perf_counter()
-    for _ in range(nb):
-        batch = next(loader)
-    t_loader = time.perf_counter() - t0
-    loader_rate = nb * args.batch_size / t_loader
-    assert batch["rgb"].shape[1:] == (224, 224, 3)
+    # --- grain end-to-end (batched; pretrain regime only — the other
+    # regimes' decisive number is the per-core rate above) ---
+    loader_rate = None
+    if args.regime == "pretrain":
+        loader = build_loader(
+            dataset, transform, global_batch_size=args.batch_size,
+            shuffle=True, seed=0, num_epochs=None, worker_count=args.workers,
+        )
+        nb_warm = 1
+        nb = max(2, (args.samples // args.batch_size))
+        for _ in range(nb_warm):
+            next(loader)
+        t0 = time.perf_counter()
+        for _ in range(nb):
+            batch = next(loader)
+        t_loader = time.perf_counter() - t0
+        loader_rate = nb * args.batch_size / t_loader
+        assert batch["rgb"].shape[1:] == (224, 224, 3)
 
-    compute = None
-    if os.path.exists(BASELINE_FILE):
+    compute = args.compute or _COMPUTE_DEFAULTS.get(args.regime)
+    if compute is None and os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             compute = json.load(f)["value"]
     headroom = (per_core * CORES_PER_CHIP / compute) if compute else None
@@ -163,13 +222,14 @@ def main():
         f"open-files: {args.samples / (t_decode or 1e-9):.1f}/s | "
         f"transform(hot): {args.samples / t_transform_hot:.1f}/s | "
         f"full sample: {per_core:.1f}/s/core | "
-        f"grain({args.workers}w): {loader_rate:.1f}/s | "
-        f"implied host ({CORES_PER_CHIP} cores/chip): "
+        + (f"grain({args.workers}w): {loader_rate:.1f}/s | "
+           if loader_rate is not None else "")
+        + f"implied host ({CORES_PER_CHIP} cores/chip): "
         f"{per_core * CORES_PER_CHIP:.0f}/s/chip vs compute {compute}",
         file=sys.stderr,
     )
     print(json.dumps({
-        "metric": "input_pipeline_per_core",
+        "metric": f"input_pipeline_per_core_{args.regime}",
         "value": round(per_core, 2),
         "unit": "samples/sec/core",
         "vs_baseline": round(headroom, 4) if headroom else None,
