@@ -154,8 +154,9 @@ def get_args(argv=None):
                         help="GPipe pipeline stages over the 'stage' mesh "
                              "axis (parallel/pp.py; encoder depth must "
                              "divide). Composes with data parallelism on "
-                             "the remaining devices; exclusive with "
-                             "--model_parallel/--fsdp")
+                             "the remaining devices and with --fsdp "
+                             "(ZeRO-3 over 'data'); exclusive with "
+                             "--model_parallel")
     parser.add_argument("--pipeline_microbatches", default=0, type=int,
                         help="Microbatches per pipeline step (default "
                              "2 x stages; bubble = (S-1)/(M+S-1))")
@@ -218,9 +219,9 @@ def main(args):
 
     mesh_lib.initialize_distributed()
     if args.pipeline_parallel > 1:
-        if args.model_parallel > 1 or args.fsdp or args.dcn_data_parallel:
+        if args.model_parallel > 1 or args.dcn_data_parallel:
             raise SystemExit("--pipeline_parallel is exclusive with "
-                             "--model_parallel/--fsdp/--dcn_data_parallel")
+                             "--model_parallel/--dcn_data_parallel")
         from multimae_tpu.parallel import pp as pp_lib
 
         mesh = pp_lib.create_pp_mesh(stage=args.pipeline_parallel)
@@ -414,7 +415,11 @@ def main(args):
         from multimae_tpu.parallel import pp as pp_lib
 
         n_micro = args.pipeline_microbatches or 2 * args.pipeline_parallel
-        dp_step = pp_lib.jit_pp(step_fn, mesh, n_micro)
+        # --fsdp composes: ZeRO-3 'data' sharding at rest, stage slices
+        # all-gathered in front of the pipeline shard_map.
+        dp_step = pp_lib.jit_pp(
+            step_fn, mesh, n_micro, state=state, fsdp=args.fsdp
+        )
     elif args.fsdp:
         from multimae_tpu.parallel.fsdp import jit_fsdp
 

@@ -265,11 +265,21 @@ class _PipelinedStep:
         return self._scoped(self._jitted.lower, *args, **kwargs)
 
 
-def jit_pp(train_step, mesh: Mesh, n_micro: int) -> _PipelinedStep:
-    """jit the step pipeline-parallel: params replicated, batch sharded
-    on 'data', the encoder trunk GPipe'd over 'stage' (the run_encoder
-    hook fires during tracing because the returned wrapper registers
-    `use_pipeline` around each call, and clears it after)."""
+def jit_pp(
+    train_step, mesh: Mesh, n_micro: int, state=None, fsdp: bool = False,
+    min_size: int = 2**15,
+) -> _PipelinedStep:
+    """jit the step pipeline-parallel: batch sharded on 'data', the
+    encoder trunk GPipe'd over 'stage' (the run_encoder hook fires during
+    tracing because the returned wrapper registers `use_pipeline` around
+    each call, and clears it after).
+
+    State is replicated by default; with `fsdp=True` (requires `state`
+    for leaf shapes) every large param/moment leaf is ZeRO-3-sharded
+    over 'data' at rest (parallel/fsdp.py rules) and GSPMD inserts the
+    gathers — including the all-gather of each stage's stacked block
+    slice in front of the shard_map, so the pipeline composes with FSDP
+    without touching the schedule."""
     assert mesh.shape[STAGE_AXIS] > 1, "use jit_data_parallel for stage=1"
     if int(n_micro) < 1:
         raise ValueError(
@@ -278,10 +288,18 @@ def jit_pp(train_step, mesh: Mesh, n_micro: int) -> _PipelinedStep:
         )
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
+    if fsdp:
+        if state is None:
+            raise ValueError("jit_pp(fsdp=True) needs the state for leaf shapes")
+        from multimae_tpu.parallel.fsdp import fsdp_shardings
+
+        state_sh = fsdp_shardings(state, mesh, min_size)
+    else:
+        state_sh = repl
     jitted = jax.jit(
         train_step,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,),
     )
     return _PipelinedStep(jitted, mesh, n_micro)

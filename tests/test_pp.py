@@ -51,6 +51,78 @@ def test_pp_step_matches_single(n_micro):
         _cleanup()
 
 
+def test_pp_stage4_matches_single():
+    """4-stage pipeline (data 2 x stage 4) on a depth-4 encoder."""
+    assert jax.device_count() >= 8, "conftest must simulate 8 cpu devices"
+    params, tx, step_fn, batch = _build_setup(depth=4)
+    try:
+        _cleanup()
+        state_ref = TrainState.create(
+            params=jax.tree.map(jnp.array, params), tx=tx)
+        state_ref, metrics_ref = jax.jit(step_fn)(
+            state_ref, batch, jax.random.PRNGKey(7))
+
+        mesh = pp.create_pp_mesh(stage=4)  # (data 2, stage 4)
+        state_pp = TrainState.create(
+            params=jax.tree.map(jnp.array, params), tx=tx)
+        pp_step = pp.jit_pp(step_fn, mesh, n_micro=2)
+        state_pp, metrics_pp = pp_step(
+            state_pp, shard_batch(batch, mesh), jax.random.PRNGKey(7))
+
+        assert abs(float(metrics_ref["loss"]) - float(metrics_pp["loss"])) < 1e-5
+        diffs = jax.tree.map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+            state_ref.params, state_pp.params)
+        assert max(jax.tree.leaves(diffs)) < 2e-4
+    finally:
+        _cleanup()
+
+
+def test_pp_fsdp_composed_matches_single():
+    """PP x FSDP: ZeRO-3 'data' sharding at rest + GPipe over 'stage';
+    the stage slices are all-gathered in front of the shard_map and the
+    result must still match the single-device step."""
+    assert jax.device_count() >= 8, "conftest must simulate 8 cpu devices"
+    from jax.sharding import PartitionSpec as P
+
+    from multimae_tpu.parallel.fsdp import shard_state_fsdp
+    from multimae_tpu.parallel.mesh import DATA_AXIS
+
+    params, tx, step_fn, batch = _build_setup()
+    try:
+        _cleanup()
+        state_ref = TrainState.create(
+            params=jax.tree.map(jnp.array, params), tx=tx)
+        state_ref, metrics_ref = jax.jit(step_fn)(
+            state_ref, batch, jax.random.PRNGKey(7))
+
+        mesh = pp.create_pp_mesh(stage=2)  # (data 4, stage 2)
+        state_pp = TrainState.create(
+            params=jax.tree.map(jnp.array, params), tx=tx)
+        state_pp = shard_state_fsdp(state_pp, mesh, min_size=1024)
+        # an FSDP-sharded leaf really is distributed over 'data'
+        proj = state_pp.params["model"]["input_adapters_rgb"]["proj"]["kernel"]
+        assert DATA_AXIS in jax.tree.leaves(
+            [proj.sharding.spec])[0], proj.sharding.spec
+
+        pp_step = pp.jit_pp(
+            step_fn, mesh, n_micro=2, state=state_pp, fsdp=True,
+            min_size=1024)
+        state_pp, metrics_pp = pp_step(
+            state_pp, shard_batch(batch, mesh), jax.random.PRNGKey(7))
+
+        assert abs(float(metrics_ref["loss"]) - float(metrics_pp["loss"])) < 1e-5
+        diffs = jax.tree.map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+            state_ref.params, state_pp.params)
+        assert max(jax.tree.leaves(diffs)) < 2e-4
+        # outputs keep the FSDP at-rest sharding (donation-compatible)
+        proj = state_pp.params["model"]["input_adapters_rgb"]["proj"]["kernel"]
+        assert proj.sharding.spec != P()
+    finally:
+        _cleanup()
+
+
 def test_pp_second_step_runs():
     """Two chained steps (donated state) through the pipeline."""
     params, tx, step_fn, batch = _build_setup()

@@ -78,8 +78,8 @@ def test_constrain_tp_scope_rules():
         use_constraint_mesh(None)
 
 
-def _build_setup(num_encoded_tokens: int = 24):
-    model = build_tiny()
+def _build_setup(num_encoded_tokens: int = 24, depth: int = 2):
+    model = build_tiny(depth=depth)
     out_tasks = ("rgb", "depth", "semseg", "norm_rgb")
     balancer = build_balancer("uncertainty", out_tasks)
     batch = make_batch()

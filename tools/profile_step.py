@@ -23,7 +23,7 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_step(batch_size):
+def build_step(batch_size, large=False):
     import jax
     import jax.numpy as jnp
 
@@ -44,6 +44,8 @@ def build_step(batch_size):
 
     mesh = create_mesh()
     model = build_pretrain_model(
+        model_name=("pretrain_multimae_large" if large
+                    else "pretrain_multimae_base"),
         dtype=jnp.bfloat16, fp32_output_adapters=("semseg",),
         decoder_return_patches=True,
     )
@@ -229,10 +231,15 @@ def main():
     ap.add_argument("--out", default="/tmp/mmtrace")
     ap.add_argument("--mode", choices=("pretrain", "finetune512"),
                     default="pretrain")
+    ap.add_argument("--large", action="store_true",
+                    help="pretrain mode: profile pretrain_multimae_large "
+                         "(ViT-L encoder) at the bench.py --large "
+                         "operating point (batch 64/chip)")
     ap.add_argument("--input_size", type=int, default=512)
     args = ap.parse_args()
     if args.batch is None:
-        args.batch = 16 if args.mode == "finetune512" else 128
+        args.batch = (16 if args.mode == "finetune512"
+                      else 64 if args.large else 128)
 
     from multimae_tpu.utils.jax_setup import setup_jax
 
@@ -243,7 +250,8 @@ def main():
         dp_step, state, batch = build_step_finetune512(
             args.batch, args.input_size)
     else:
-        dp_step, state, batch = build_step(args.batch * jax.device_count())
+        dp_step, state, batch = build_step(
+            args.batch * jax.device_count(), large=args.large)
     rng = jax.random.PRNGKey(1)
     for _ in range(args.warmup):
         state, metrics = dp_step(state, batch, rng)
