@@ -67,7 +67,6 @@ def main():
     print("| M | ticks M+S-1 | analytic bubble | ms/step | "
           "ms/step x M/(M+S-1) |")
     print("|---|---|---|---|---|")
-    rows = []
     for m in micros:
         pp.use_pipeline(None)
         use_constraint_mesh(None)
@@ -84,9 +83,8 @@ def main():
         jax.block_until_ready(metrics["loss"])
         ms = (time.perf_counter() - t0) / args.iters * 1e3
         bubble = (s - 1) / (m + s - 1)
-        # cost with the bubble ticks removed: what a bubble-free
-        # schedule of the same per-tick cost would take
-        rows.append((m, ms))
+        # last column: cost with the bubble ticks removed — what a
+        # bubble-free schedule of the same per-tick cost would take
         print(f"| {m} | {m + s - 1} | {bubble:.3f} | {ms:.1f} | "
               f"{ms * m / (m + s - 1):.1f} |")
     pp.use_pipeline(None)
