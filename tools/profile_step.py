@@ -220,6 +220,70 @@ def build_step_finetune512(per_chip_batch, input_size):
     return dp_step, state, shard_batch(batch, mesh)
 
 
+def build_step_cls(per_chip_batch, input_size=224):
+    """ImageNet cls fine-tune step (same construction as
+    tools/bench_finetune.py --task cls) for recipe profiling."""
+    import argparse as _ap
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import bench_finetune as bf
+
+    from multimae_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+    from multimae_tpu.train.cross_entropy import soft_target_cross_entropy
+    from multimae_tpu.train.finetune_step import make_dense_train_step
+    from multimae_tpu.train.optim_factory import create_optimizer
+    from multimae_tpu.train.schedules import as_optax_schedule, cosine_scheduler
+    from multimae_tpu.train.train_state import TrainState
+
+    fargs = _ap.Namespace(
+        batch=per_chip_batch, input_size=input_size, num_classes=1000, steps=0
+    )
+    mesh = create_mesh()
+    b = per_chip_batch * jax.device_count()
+    s = input_size
+    model = bf.build_cls(fargs, jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    soft = jax.nn.softmax(
+        jax.random.normal(jax.random.PRNGKey(1), (b, 1000), jnp.float32) * 4.0
+    )
+    batch = {
+        "rgb": jax.random.normal(rng, (b, s, s, 3), jnp.float32),
+        "target": soft,
+    }
+    params = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            {"rgb": batch["rgb"][:2]}, train=False,
+        )["params"]
+    )()
+    lr = as_optax_schedule(
+        cosine_scheduler(1e-4, 0.0, epochs=100, niter_per_ep=100,
+                         warmup_epochs=5)
+    )
+    tx = create_optimizer(
+        params, opt="adamw", lr_schedule=lr, weight_decay=0.05,
+        opt_betas=(0.9, 0.999), filter_bias_and_bn=True,
+    )
+    state = TrainState.create(params=params, tx=tx)
+    state = state.replace(
+        params=replicate(state.params, mesh),
+        opt_state=replicate(state.opt_state, mesh),
+    )
+    step = make_dense_train_step(
+        model, "cls", soft_target_cross_entropy, in_domains=("rgb",),
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+    dp_step = jax.jit(step, in_shardings=(repl, data_sh, repl),
+                      out_shardings=(repl, repl), donate_argnums=(0,))
+    return dp_step, state, shard_batch(batch, mesh)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=None,
@@ -229,7 +293,7 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--out", default="/tmp/mmtrace")
-    ap.add_argument("--mode", choices=("pretrain", "finetune512"),
+    ap.add_argument("--mode", choices=("pretrain", "finetune512", "cls"),
                     default="pretrain")
     ap.add_argument("--large", action="store_true",
                     help="pretrain mode: profile pretrain_multimae_large "
@@ -249,6 +313,8 @@ def main():
     if args.mode == "finetune512":
         dp_step, state, batch = build_step_finetune512(
             args.batch, args.input_size)
+    elif args.mode == "cls":
+        dp_step, state, batch = build_step_cls(args.batch)
     else:
         dp_step, state, batch = build_step(
             args.batch * jax.device_count(), large=args.large)
