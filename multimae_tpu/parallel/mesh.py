@@ -69,33 +69,47 @@ def create_hybrid_mesh(
     outer stage of a hierarchical all-reduce. This is the TPU-native
     analogue of the reference's multi-node DDP (utils/dist.py:62-93).
 
-    `dcn` overrides slice discovery (e.g. simulating 2 slices on an
-    8-device CPU host): the device list is split into `dcn` equal
-    contiguous groups. Group order is sorted by slice id, devices
-    within a group keep backend order.
+    `dcn` fixes the slice count. On hardware that exposes slice
+    topology the device list is STILL grouped by slice (and the
+    discovered count must equal `dcn`) — jax.devices() ordering is not
+    guaranteed slice-major, and a contiguous split could put one
+    slice's chips in different 'dcn' rows, silently routing FSDP/TP
+    collectives over DCN. Only when no topology is visible (CPU
+    simulation with one process) does the list fall back to `dcn`
+    equal contiguous groups.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    if dcn is None:
-        # Group by the runtime's slice topology. On TPU, slice_index
-        # varies across DCN-connected slices but NOT across the hosts
-        # of one (multi-host) slice — those are one ICI domain and must
-        # stay in one group. On CPU (tests / simulation) slice_index is
-        # constant, so fall back to process_index: separate processes
-        # are the simulated DCN boundary.
-        def key_fn(d):
-            if d.platform != "cpu":
-                return getattr(d, "slice_index", 0) or 0
-            return d.process_index
 
-        groups: dict = {}
-        for d in devices:
-            groups.setdefault(key_fn(d), []).append(d)
-        ordered = [groups[k] for k in sorted(groups)]
+    # Group by the runtime's slice topology. On TPU, slice_index
+    # varies across DCN-connected slices but NOT across the hosts
+    # of one (multi-host) slice — those are one ICI domain and must
+    # stay in one group. On CPU (tests / simulation) slice_index is
+    # constant, so fall back to process_index: separate processes
+    # are the simulated DCN boundary.
+    def key_fn(d):
+        if d.platform != "cpu":
+            return getattr(d, "slice_index", 0) or 0
+        return d.process_index
+
+    groups: dict = {}
+    for d in devices:
+        groups.setdefault(key_fn(d), []).append(d)
+    ordered = [groups[k] for k in sorted(groups)]
+    if dcn is None:
         dcn = len(ordered)
+    if len(ordered) > 1:
+        # Real topology discovered: honor it even with an explicit dcn
+        # (which must then agree), so 'data'/'model' stay on ICI.
+        assert len(ordered) == dcn, (
+            f"--dcn_data_parallel {dcn} != {len(ordered)} discovered "
+            f"slices/processes; the slice topology wins — pass the real "
+            f"count (or omit it)")
         sizes = {len(g) for g in ordered}
         assert len(sizes) == 1, f"unequal slice sizes {sizes}"
         devices = [d for g in ordered for d in g]
+    # else: single visible group (e.g. 1-process CPU simulation of a
+    # multi-slice pod) — keep backend order, split contiguously below.
     assert n % dcn == 0, f"{n} devices not divisible into {dcn} slices"
     per_slice = n // dcn
     if data is None:

@@ -144,9 +144,13 @@ def pipelined_encoder(model, tokens: jnp.ndarray, train: bool) -> jnp.ndarray:
     # Every stage applies blocks[0] as the template module, so all
     # blocks must share the same static config — fail loudly on any
     # heterogeneity instead of silently running layer i with block 0's
-    # hyperparameters.
+    # hyperparameters. drop_path_rate is deliberately NOT checked:
+    # MultiMAE assigns it per-block via linspace whenever the rate is
+    # nonzero (models/multimae.py), train-time heterogeneity is already
+    # rejected by the nonzero-rate guard above, and in eval drop_path
+    # is a no-op — so a deterministic trace of such a model must pass.
     _CFG_FIELDS = ("num_heads", "mlp_ratio", "qkv_bias", "drop",
-                   "attn_drop", "drop_path_rate", "dtype")
+                   "attn_drop", "dtype")
     for i, b in enumerate(blocks[1:], start=1):
         for f in _CFG_FIELDS:
             a, v = getattr(blocks[0], f, None), getattr(b, f, None)

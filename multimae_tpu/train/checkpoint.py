@@ -293,9 +293,12 @@ def load_checkpoint(path: str, state, with_extras: bool = False):
     """
     path = resolve_checkpoint_path(path)
     if path.endswith(".pth"):
-        import torch
+        from multimae_tpu.utils.torch_compat import torch_load_checkpoint
 
-        payload = torch.load(path, map_location="cpu", weights_only=True)
+        # Tolerant load: real reference training checkpoints embed an
+        # argparse.Namespace under 'args' which plain weights_only=True
+        # rejects (torch_compat.torch_load_checkpoint allow-lists it).
+        payload = torch_load_checkpoint(path)
         epoch = int(payload.get("epoch", -1)) if isinstance(payload, dict) else -1
         template = state.params
         # Pretrain states nest the model under params["model"] next to

@@ -158,6 +158,28 @@ def _convert_tensor(
     raise ValueError(f"shape mismatch {t.shape} vs {flax_shape} at {path}")
 
 
+def torch_load_checkpoint(path: str):
+    """torch.load a reference-format .pth tolerantly.
+
+    Released weight files load under the safe weights-only unpickler, but
+    real TRAINING checkpoints written by the reference's save_model
+    (reference utils/checkpoint.py:80-95) embed `'args':
+    argparse.Namespace` (and scaler/optimizer state), which
+    weights_only=True rejects. Retry allow-listing Namespace — the only
+    non-tensor global the reference payload contains — so auto-resume
+    from a reference run works without ever enabling the full unpickler.
+    """
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        import argparse
+
+        with torch.serialization.safe_globals([argparse.Namespace]):
+            return torch.load(path, map_location="cpu", weights_only=True)
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a .pth checkpoint into a flat {key: np.ndarray} dict.
 
@@ -165,9 +187,7 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     immediately to numpy; handles the reference's {'model': ...} wrapping
     (utils/checkpoint.py:118-127).
     """
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    ckpt = torch_load_checkpoint(path)
     for key in ("model", "module", "state_dict"):
         if isinstance(ckpt, dict) and key in ckpt and isinstance(ckpt[key], dict):
             ckpt = ckpt[key]

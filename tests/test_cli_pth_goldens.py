@@ -89,8 +89,45 @@ def ref_pth(tmp_path_factory):
         num_global_tokens=1, **TINY,
     ).eval()
     path = str(tmp_path_factory.mktemp("pth") / "pretrain_tiny.pth")
-    torch.save({"model": ref.state_dict(), "epoch": 3}, path)
+    # The FULL reference save_model payload (utils/checkpoint.py:75-87):
+    # an argparse.Namespace under 'args' and optimizer/scaler state ride
+    # along with the weights, so every golden below exercises the
+    # tolerant load (torch_compat.torch_load_checkpoint) — plain
+    # weights_only=True rejects the Namespace (round-4 advisor finding).
+    import argparse
+
+    opt = torch.optim.AdamW(ref.parameters(), lr=1e-4)
+    torch.save({
+        "model": ref.state_dict(),
+        "optimizer": opt.state_dict(),
+        "epoch": 3,
+        "scaler": {"scale": 65536.0, "growth_factor": 2.0,
+                   "backoff_factor": 0.5, "growth_interval": 2000,
+                   "_growth_tracker": 0},
+        "args": argparse.Namespace(model="pretrain_multimae_tiny",
+                                   lr=1e-4, output_dir="/tmp/x"),
+    }, path)
     return path
+
+
+def test_full_save_model_payload_needs_tolerant_load(ref_pth):
+    """Pin the behavior the fixture relies on: the Namespace makes plain
+    weights_only=True fail, and torch_load_checkpoint recovers by
+    allow-listing exactly argparse.Namespace."""
+    import torch
+
+    from multimae_tpu.utils.torch_compat import (
+        load_torch_state_dict,
+        torch_load_checkpoint,
+    )
+
+    with pytest.raises(Exception):
+        torch.load(ref_pth, map_location="cpu", weights_only=True)
+    payload = torch_load_checkpoint(ref_pth)
+    assert payload["epoch"] == 3
+    assert payload["args"].model == "pretrain_multimae_tiny"
+    sd = load_torch_state_dict(ref_pth)
+    assert "global_tokens" in sd and sd["global_tokens"].shape[-1] == 64
 
 
 def _drive_cli(cli_mod, argv, monkeypatch):
@@ -117,11 +154,12 @@ def _torch_surgery_load(ft_model, pth_path):
     (run_finetuning_semseg.py:409-432): pad semseg class-emb for the
     void/padding row, drop output adapters, interpolate pos-emb,
     tolerant load."""
-    import torch
     import torch.nn.functional as F
     from utils.pos_embed import interpolate_pos_embed_multimae
 
-    ckpt = torch.load(pth_path, map_location="cpu", weights_only=True)["model"]
+    from multimae_tpu.utils.torch_compat import torch_load_checkpoint
+
+    ckpt = torch_load_checkpoint(pth_path)["model"]
     key = "input_adapters.semseg.class_emb.weight"
     sem = getattr(ft_model.input_adapters, "semseg", None)
     if key in ckpt and sem is not None and (

@@ -55,6 +55,46 @@ def test_create_hybrid_mesh_slice_discovery_single_host():
     assert mesh.shape[DATA_AXIS] == jax.device_count()
 
 
+def test_explicit_dcn_groups_by_slice_topology(monkeypatch):
+    """--dcn_data_parallel N on hardware that exposes slice topology must
+    STILL group devices by slice_index — jax.devices() ordering is not
+    guaranteed slice-major, and a contiguous split could put one slice's
+    chips in different 'dcn' rows, routing FSDP/TP collectives over DCN
+    (round-4 advisor finding on mesh.py)."""
+    import multimae_tpu.parallel.mesh as mesh_lib
+
+    class FakeTpu:
+        platform = "tpu"
+
+        def __init__(self, slice_index, i):
+            self.slice_index = slice_index
+            self.id = i
+
+        def __repr__(self):
+            return f"tpu(s{self.slice_index},{self.id})"
+
+    # Worst case: slices interleaved in backend order.
+    devs = [FakeTpu(i % 2, i) for i in range(8)]
+    captured = {}
+
+    def fake_mesh(arr, names):
+        captured["arr"], captured["names"] = arr, names
+        return "mesh"
+
+    monkeypatch.setattr(mesh_lib, "Mesh", fake_mesh)
+    assert mesh_lib.create_hybrid_mesh(dcn=2, devices=devs) == "mesh"
+    arr = captured["arr"]
+    assert arr.shape == (2, 4, 1) and captured["names"] == (
+        DCN_AXIS, DATA_AXIS, MODEL_AXIS)
+    for row in range(2):
+        assert {d.slice_index for d in arr[row].ravel()} == {row}, arr
+
+    # A count that disagrees with the discovered topology fails loudly
+    # instead of silently splitting a slice across 'dcn' rows.
+    with pytest.raises(AssertionError, match="slice topology wins"):
+        mesh_lib.create_hybrid_mesh(dcn=4, devices=devs)
+
+
 def test_hybrid_dp_matches_single():
     """2 slices x 4-way ICI data parallelism == the single-device step."""
     params, tx, step_fn, batch = _build_setup()

@@ -163,3 +163,49 @@ def test_pp_microbatch_divisibility_error():
             pp_step(state, shard_batch(batch, mesh), jax.random.PRNGKey(0))
     finally:
         _cleanup()
+
+
+def test_pp_eval_allows_per_block_drop_path():
+    """MultiMAE assigns drop_path_rate per-block via linspace whenever
+    the model rate is nonzero (models/multimae.py), so the homogeneity
+    check must not compare drop_path_rate: in eval drop_path is a no-op
+    and the pipelined trace must (a) pass and (b) match the sequential
+    forward; in train the nonzero-rate guard still rejects it
+    (round-4 advisor finding on pp.py)."""
+    from test_train_step import build_tiny, make_batch
+
+    model = build_tiny(depth=2, drop_path_rate=0.1)
+    batch = make_batch()
+    rngs = {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)}
+    params = model.init(rngs, batch, num_encoded_tokens=24)["params"]
+
+    def fwd(p, b, train):
+        preds, masks = model.apply(
+            {"params": p}, b, num_encoded_tokens=24, train=train,
+            rngs={"masking": jax.random.PRNGKey(2)},
+        )
+        return preds
+
+    try:
+        _cleanup()
+        ref = jax.jit(lambda p, b: fwd(p, b, False))(params, batch)
+
+        mesh = pp.create_pp_mesh(stage=2)  # (data 4, stage 2)
+        pp.use_pipeline(mesh, 1)
+        use_constraint_mesh(mesh)
+        out = jax.jit(lambda p, b: fwd(p, b, False))(
+            params, shard_batch(batch, mesh))
+        for (ka, a), (kb, b) in zip(
+            sorted(ref.items()), sorted(out.items())
+        ):
+            assert ka == kb
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5, err_msg=ka)
+
+        # train=True still fails loudly: stochastic depth would need
+        # (stage, tick) rng folding through the schedule.
+        with pytest.raises(ValueError, match="drop/attn_drop/drop_path"):
+            jax.jit(lambda p, b: fwd(p, b, True))(
+                params, shard_batch(batch, mesh))
+    finally:
+        _cleanup()

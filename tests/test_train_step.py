@@ -31,7 +31,7 @@ DIM = 64
 IMG = 64  # 4x4 grid of 16px patches -> 16 tokens per task
 
 
-def build_tiny(depth=2):
+def build_tiny(depth=2, **kw):
     in_adapters = {
         "rgb": functools.partial(
             PatchedInputAdapter, num_channels=3, stride_level=1, patch_size_full=16,
@@ -61,7 +61,7 @@ def build_tiny(depth=2):
     )
     return MultiMAE(
         input_adapters=in_adapters, output_adapters=out_adapters,
-        dim_tokens=DIM, depth=depth, num_heads=4,
+        dim_tokens=DIM, depth=depth, num_heads=4, **kw,
     )
 
 

@@ -66,8 +66,10 @@ def main():
 
     import torch
 
+    from multimae_tpu.utils.torch_compat import torch_load_checkpoint
+
     print(f"Loading weights at {args.multimae_ckpt_path}")
-    ckpt = torch.load(args.multimae_ckpt_path, map_location="cpu", weights_only=True)
+    ckpt = torch_load_checkpoint(args.multimae_ckpt_path)
     model_sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
     model_np = {k: v.numpy() for k, v in model_sd.items()}
     print("Converting from MultiMAE weights to ViT weights...")

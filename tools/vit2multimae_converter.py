@@ -49,8 +49,10 @@ def main():
 
     import torch
 
+    from multimae_tpu.utils.torch_compat import torch_load_checkpoint
+
     print(f"Loading weights at {args.vit_ckpt_path}")
-    ckpt = torch.load(args.vit_ckpt_path, map_location="cpu", weights_only=True)
+    ckpt = torch_load_checkpoint(args.vit_ckpt_path)
     model_sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
     model_np = {k: v.numpy() for k, v in model_sd.items()}
     print("Converting from ViT weights to MultiMAE weights...")
