@@ -113,6 +113,9 @@ def main():
     ap.add_argument("--workers", type=int, default=0,
                     help="grain worker processes (0 = in-process)")
     ap.add_argument("--batch_size", type=int, default=128)
+    ap.add_argument("--loader_batches", type=int, default=10,
+                    help="min batches in the grain timing window (must "
+                         "exceed the worker prefetch depth)")
     ap.add_argument("--compute", type=float, default=None,
                     help="compute samples/s/chip to compare against "
                          "(default: BENCH_BASELINE.json for pretrain, "
@@ -200,8 +203,14 @@ def main():
             dataset, transform, global_batch_size=args.batch_size,
             shuffle=True, seed=0, num_epochs=None, worker_count=args.workers,
         )
-        nb_warm = 1
-        nb = max(2, (args.samples // args.batch_size))
+        # Steady state, not buffer drain: with worker processes the first
+        # next() returns while workers have already prefetched several
+        # batches, so a short timed window measures queue pops, not
+        # production rate (observed 5063/s "rate" on a 1-core host with
+        # 4 workers and a 3-batch window). Time enough batches that the
+        # producers bound the window.
+        nb_warm = 2
+        nb = max(args.loader_batches, args.samples // args.batch_size)
         for _ in range(nb_warm):
             next(loader)
         t0 = time.perf_counter()

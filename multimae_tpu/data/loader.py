@@ -23,12 +23,27 @@ class _LoadAndAugment(grain.RandomMapTransform):
         self._dataset = dataset
         self._transform = transform
 
+    def _load(self, index: int, rng: np.random.Generator):
+        """Corrupt-file retry with a random resample (reference
+        utils/dataset_folder.py:166-173). load_raw bypasses the dataset's
+        own __getitem__ retry loop, so the retry must live here — and it
+        draws the resample index from the per-record grain rng, keeping
+        batches deterministic for a given seed even across worker counts
+        (the dataset's loop uses the global `random`, which worker
+        processes don't share)."""
+        has_raw = hasattr(self._dataset, "load_raw")
+        for _ in range(20):
+            try:
+                return (self._dataset.load_raw(index) if has_raw
+                        else self._dataset[index])
+            except Exception as e:
+                print(f"[loader] sample {index} failed ({e}); resampling")
+                index = int(rng.integers(0, len(self._dataset)))
+        raise RuntimeError(
+            "20 consecutive corrupt samples — dataset looks damaged")
+
     def random_map(self, index: int, rng: np.random.Generator):
-        sample, target = (
-            self._dataset.load_raw(index)
-            if hasattr(self._dataset, "load_raw")
-            else self._dataset[index]
-        )
+        sample, target = self._load(index, rng)
         if self._transform is not None:
             py_rng = random.Random(int(rng.integers(0, 2**63 - 1)))
             try:

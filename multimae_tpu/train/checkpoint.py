@@ -266,18 +266,29 @@ def _save_orbax(output_dir, name, epoch, state, extras) -> str:
     return path
 
 
-def latest_checkpoint(output_dir: str) -> Optional[str]:
-    """Glob the latest checkpoint-* of either backend (reference
-    :107-117)."""
+def checkpoint_candidates(output_dir: str) -> list:
+    """All checkpoint-* paths of either backend, newest epoch first.
+
+    Writers are crash-atomic (msgpack: write-to-.tmp + os.replace;
+    orbax: temp-dir + commit rename, and its in-progress
+    `*.orbax-checkpoint-tmp-*` names don't match the anchored pattern),
+    but auto-resume runs exactly when something just died — a damaged
+    save must cost one fallback, not the run. auto_load_checkpoint
+    walks this list until one restores."""
     ckpts = glob.glob(os.path.join(output_dir, "checkpoint-*.msgpack"))
     ckpts += glob.glob(os.path.join(output_dir, "checkpoint-*.orbax"))
-    best, best_epoch = None, -1
+    out = []
     for c in ckpts:
         m = re.search(r"checkpoint-(\d+)\.(msgpack|orbax)$", c)
-        if m and int(m.group(1)) > best_epoch:
-            best_epoch = int(m.group(1))
-            best = c
-    return best
+        if m:
+            out.append((int(m.group(1)), c))
+    return [c for _, c in sorted(out, reverse=True)]
+
+
+def latest_checkpoint(output_dir: str) -> Optional[str]:
+    """The newest checkpoint-* of either backend (reference :107-117)."""
+    cands = checkpoint_candidates(output_dir)
+    return cands[0] if cands else None
 
 
 def load_checkpoint(path: str, state, with_extras: bool = False):
@@ -368,16 +379,29 @@ def load_checkpoint(path: str, state, with_extras: bool = False):
 def _orbax_restore_payload(path: str) -> Dict[str, Any]:
     """Read an .orbax checkpoint back into the msgpack payload shape
     (numpy leaves on every host; the template-preserving merge in
-    load_checkpoint re-shards from there)."""
+    load_checkpoint re-shards from there).
+
+    Restores every leaf as numpy explicitly: orbax's default restore
+    rebuilds the SAVED shardings, which fails whenever the current
+    topology differs from the saving one (fewer hosts, a different mesh
+    — exactly the elasticity cases tests/test_checkpoint_elasticity.py
+    and the 1-process-restore leg of tests/test_multiprocess.py pin).
+    The reference's single .pth is topology-free by construction
+    (utils/checkpoint.py:103-152); this keeps the orbax backend equally
+    elastic. load_checkpoint's template merge re-shards afterwards."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = ocp.PyTreeCheckpointer()
     try:
-        # _to_host: multi-host restores come back as global jax.Arrays
-        # (not addressable from one host) — gather them to numpy so the
-        # template merge below can reshape/re-shard them.
-        payload = _to_host(dict(ckptr.restore(path)))
+        meta = ckptr.metadata(path)
+        # orbax 0.11: StepMetadata.item_metadata.tree is the value tree;
+        # keep a getattr chain so older metadata objects (a bare tree)
+        # still work.
+        meta_tree = getattr(getattr(meta, "item_metadata", meta), "tree", meta)
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree)
+        payload = dict(ckptr.restore(path, restore_args=restore_args))
     finally:
         ckptr.close()
     meta_path = path + ".meta.json"
@@ -395,18 +419,38 @@ def _orbax_restore_payload(path: str) -> Dict[str, Any]:
 
 
 def auto_load_checkpoint(output_dir: str, state, with_extras: bool = False):
-    """Resume from the latest checkpoint in output_dir; returns
+    """Resume from the latest LOADABLE checkpoint in output_dir; returns
     (state, start_epoch[, extras]). start_epoch = saved epoch + 1
-    (reference :131)."""
-    path = latest_checkpoint(output_dir)
-    if path is None:
+    (reference :131).
+
+    Crash-safe selection: auto-resume exists precisely for preemption
+    (reference utils/checkpoint.py:107-117), so a damaged newest save —
+    truncated file, interrupted async-orbax commit, half-copied dir —
+    falls back to the previous epoch with a warning instead of crashing
+    the relaunch. If EVERY candidate is damaged the last error is
+    re-raised: silently training from scratch over a populated
+    output_dir would destroy more than it saves."""
+    cands = checkpoint_candidates(output_dir)
+    if not cands:
         return (state, 0, {}) if with_extras else (state, 0)
-    out = load_checkpoint(path, state, with_extras=with_extras)
-    epoch = out[1]
-    print(f"[checkpoint] auto-resumed from {path} (epoch {epoch})")
-    if with_extras:
-        return out[0], epoch + 1, out[2]
-    return out[0], epoch + 1
+    last_err = None
+    for i, path in enumerate(cands):
+        try:
+            out = load_checkpoint(path, state, with_extras=with_extras)
+        except Exception as e:  # damaged save: fall back one epoch
+            last_err = e
+            print(f"[checkpoint] {path} failed to load ({type(e).__name__}: "
+                  f"{e}); trying the previous checkpoint")
+            continue
+        epoch = out[1]
+        note = " (skipped damaged newer saves)" if i else ""
+        print(f"[checkpoint] auto-resumed from {path} (epoch {epoch}){note}")
+        if with_extras:
+            return out[0], epoch + 1, out[2]
+        return out[0], epoch + 1
+    raise RuntimeError(
+        f"all {len(cands)} checkpoints in {output_dir} failed to load; "
+        f"last error: {last_err}") from last_err
 
 
 def load_pretrained_torch(

