@@ -329,7 +329,11 @@ def main():
         args.batch = {"semseg": 16, "depth": 32, "cls": 128,
                       "taskonomy": 32}[args.task]
         if args.large:
-            args.batch //= 2  # ~3x params + deeper activations in HBM
+            # ~3x params + deeper activations in HBM. semseg512 needs /4:
+            # B=8 measured 17.7G > 15.75G HBM (24 blocks x 2049-token
+            # activations); B=4 runs both engines (16.35 pallas / 5.28
+            # dense, 2026-08-19).
+            args.batch //= 4 if args.task == "semseg" else 2
     if args.task == "cls":
         args.num_classes = 1000
 
