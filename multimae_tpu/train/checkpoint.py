@@ -304,7 +304,10 @@ def load_checkpoint(path: str, state, with_extras: bool = False):
     """
     path = resolve_checkpoint_path(path)
     if path.endswith(".pth"):
-        from multimae_tpu.utils.torch_compat import torch_load_checkpoint
+        from multimae_tpu.utils.torch_compat import (
+            payload_to_state_dict,
+            torch_load_checkpoint,
+        )
 
         # Tolerant load: real reference training checkpoints embed an
         # argparse.Namespace under 'args' which plain weights_only=True
@@ -316,7 +319,8 @@ def load_checkpoint(path: str, state, with_extras: bool = False):
         # the balancer; fine-tune states are the bare model tree.
         nested = isinstance(template, dict) and "model" in template
         model_tpl = template["model"] if nested else template
-        loaded, _ = load_pretrained_torch(path, model_tpl)
+        loaded, _ = load_pretrained_torch(
+            path, model_tpl, state_dict=payload_to_state_dict(payload))
         params = {**template, "model": loaded} if nested else loaded
         print("[checkpoint] torch .pth resume: params + epoch restored; "
               "optimizer state restarts fresh")
@@ -398,7 +402,8 @@ def _orbax_restore_payload(path: str) -> Dict[str, Any]:
         # orbax 0.11: StepMetadata.item_metadata.tree is the value tree;
         # keep a getattr chain so older metadata objects (a bare tree)
         # still work.
-        meta_tree = getattr(getattr(meta, "item_metadata", meta), "tree", meta)
+        inner = getattr(meta, "item_metadata", meta)
+        meta_tree = getattr(inner, "tree", inner)
         restore_args = jax.tree.map(
             lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree)
         payload = dict(ckptr.restore(path, restore_args=restore_args))
@@ -429,8 +434,16 @@ def auto_load_checkpoint(output_dir: str, state, with_extras: bool = False):
     falls back to the previous epoch with a warning instead of crashing
     the relaunch. If EVERY candidate is damaged the last error is
     re-raised: silently training from scratch over a populated
-    output_dir would destroy more than it saves."""
+    output_dir would destroy more than it saves.
+
+    Multi-host runs coordinate the selection (process 0 picks, everyone
+    follows): without the agreement step, a transient read error on one
+    host would silently fall IT back to an older save while the others
+    resume the newest — per-rank divergent states feeding the next
+    gradient all-reduce."""
     cands = checkpoint_candidates(output_dir)
+    if jax.process_count() > 1:
+        return _auto_load_coordinated(output_dir, cands, state, with_extras)
     if not cands:
         return (state, 0, {}) if with_extras else (state, 0)
     last_err = None
@@ -453,17 +466,105 @@ def auto_load_checkpoint(output_dir: str, state, with_extras: bool = False):
         f"last error: {last_err}") from last_err
 
 
+_BACKEND_EXTS = ("msgpack", "orbax")
+
+
+def _validate_checkpoint_local(path: str) -> None:
+    """Collective-free structural check that a save is complete; raises
+    on damage. Used by the multi-host coordinated walk, where actually
+    RESTORING on one rank would deadlock (orbax restore synchronizes all
+    processes, and the other ranks are parked at the broadcast).
+
+    msgpack: full parse of the file (local read, catches truncation).
+    orbax: metadata read (barrier-free in orbax; catches missing/gutted
+    dirs and a missing _METADATA — i.e. an uncommitted save)."""
+    if path.endswith(".msgpack"):
+        with open(path, "rb") as f:
+            flax.serialization.msgpack_restore(f.read())
+        return
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    try:
+        ckptr.metadata(os.path.abspath(path))
+    finally:
+        ckptr.close()
+
+
+def _auto_load_coordinated(output_dir, cands, state, with_extras):
+    """Multi-host auto-resume with cross-process agreement.
+
+    Process 0 walks the candidates newest-first validating each with
+    LOCAL reads only, broadcasts its choice as (epoch, backend), then
+    every process — including 0 — loads the agreed file together (so
+    orbax's internal restore barriers line up). The filename is
+    reconstructed from the broadcast pair (checkpoint names are exactly
+    `checkpoint-{epoch}.{msgpack|orbax}`), so the decision does not
+    depend on per-host directory-listing agreement. If the agreed file
+    fails to load past validation, the error propagates — a consistent
+    crash beats ranks silently resuming from different epochs.
+    Sentinels: epoch -1 = no candidates (fresh start everywhere),
+    -2 = every candidate damaged (raise everywhere)."""
+    from jax.experimental import multihost_utils
+
+    rank0 = jax.process_index() == 0
+    choice, last_err = (-1, 0), None
+    if rank0:
+        for i, path in enumerate(cands):
+            try:
+                _validate_checkpoint_local(path)
+            except Exception as e:  # damaged save: fall back one epoch
+                last_err = e
+                print(f"[checkpoint] {path} failed validation "
+                      f"({type(e).__name__}: {e}); trying the previous "
+                      f"checkpoint")
+                continue
+            m = re.search(r"checkpoint-(\d+)\.(msgpack|orbax)$", path)
+            choice = (int(m.group(1)), _BACKEND_EXTS.index(m.group(2)))
+            if i:
+                print(f"[checkpoint] skipped {i} damaged newer save(s)")
+            break
+        else:
+            if cands:
+                choice = (-2, 0)
+    msg = multihost_utils.broadcast_one_to_all(
+        np.asarray(choice, np.int32))
+    epoch, backend = int(msg[0]), int(msg[1])
+    if epoch == -1:
+        return (state, 0, {}) if with_extras else (state, 0)
+    if epoch == -2:
+        raise RuntimeError(
+            f"all {len(cands) if rank0 else '(see process 0)'} checkpoints "
+            f"in {output_dir} failed validation on process 0"
+            + (f"; last error: {last_err}" if rank0 else ""))
+    path = os.path.join(
+        output_dir, f"checkpoint-{epoch}.{_BACKEND_EXTS[backend]}")
+    # Deliberately no per-rank fallback past this point: the file
+    # process 0 chose must load everywhere.
+    out = load_checkpoint(path, state, with_extras=with_extras)
+    print(f"[checkpoint] auto-resumed from {path} (epoch {out[1]}), "
+          f"coordinated across {jax.process_count()} processes")
+    if with_extras:
+        return out[0], out[1] + 1, out[2]
+    return out[0], out[1] + 1
+
+
 def load_pretrained_torch(
-    path: str, params_template, head_type: str = "regression", strict: bool = False
+    path: str, params_template, head_type: str = "regression",
+    strict: bool = False, state_dict=None,
 ):
     """Load a reference-format .pth into a flax param template
-    (fine-tune start; reference utils/checkpoint.py:26-72 tolerant load)."""
+    (fine-tune start; reference utils/checkpoint.py:26-72 tolerant load).
+
+    Pass `state_dict` (flat {key: np.ndarray}) to reuse an
+    already-deserialized payload instead of re-reading the file."""
     from multimae_tpu.utils.torch_compat import (
         load_torch_state_dict,
         state_dict_to_params,
     )
 
-    state_dict = load_torch_state_dict(resolve_checkpoint_path(path))
+    if state_dict is None:
+        state_dict = load_torch_state_dict(resolve_checkpoint_path(path))
     return state_dict_to_params(
         state_dict, params_template, head_type=head_type, strict=strict
     )

@@ -169,30 +169,39 @@ def torch_load_checkpoint(path: str):
     non-tensor global the reference payload contains — so auto-resume
     from a reference run works without ever enabling the full unpickler.
     """
+    import pickle
+
     import torch
 
     try:
         return torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except pickle.UnpicklingError:
+        # Only the weights-only REJECTION retries; corrupt/truncated files
+        # (zip or serialization errors) fail single-pass with the real error.
         import argparse
 
         with torch.serialization.safe_globals([argparse.Namespace]):
             return torch.load(path, map_location="cpu", weights_only=True)
 
 
-def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load a .pth checkpoint into a flat {key: np.ndarray} dict.
-
-    Uses torch (CPU build is available in the image) but converts
-    immediately to numpy; handles the reference's {'model': ...} wrapping
-    (utils/checkpoint.py:118-127).
-    """
-    ckpt = torch_load_checkpoint(path)
+def payload_to_state_dict(ckpt) -> Dict[str, np.ndarray]:
+    """Unwrap an already-deserialized .pth payload into a flat
+    {key: np.ndarray} dict; handles the reference's {'model': ...}
+    wrapping (utils/checkpoint.py:118-127)."""
     for key in ("model", "module", "state_dict"):
         if isinstance(ckpt, dict) and key in ckpt and isinstance(ckpt[key], dict):
             ckpt = ckpt[key]
             break
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in ckpt.items()}
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth checkpoint into a flat {key: np.ndarray} dict.
+
+    Uses torch (CPU build is available in the image) but converts
+    immediately to numpy.
+    """
+    return payload_to_state_dict(torch_load_checkpoint(path))
 
 
 def state_dict_to_params(

@@ -132,6 +132,24 @@ def main():
         np.testing.assert_array_equal(np.asarray(st3.params["w"]), w_global)
         assert bytes(ex3["data_iter_state"]) == my_iter_state, ex3
 
+        # 4b. COORDINATED crash-safe auto-resume: rank 0 plants a
+        # truncated newest save; both ranks must agree (process-0
+        # validation + broadcast) to fall back to checkpoint-1.orbax.
+        # Divergent per-rank fallbacks would feed mismatched states into
+        # the next gradient all-reduce — the round-5 review finding.
+        from multimae_tpu.train.checkpoint import auto_load_checkpoint
+
+        if rank == 0:
+            with open(os.path.join(ckpt_dir, "checkpoint-2.msgpack"),
+                      "wb") as f:
+                f.write(b"\x00" * 37)  # parses as 0 + trailing garbage
+        multihost_utils.sync_global_devices("damaged ckpt planted")
+        st4, start_epoch, ex4 = auto_load_checkpoint(
+            ckpt_dir, template, with_extras=True)
+        assert start_epoch == 2, start_epoch  # fell back to epoch 1
+        np.testing.assert_array_equal(np.asarray(st4.params["w"]), w_global)
+        assert bytes(ex4["data_iter_state"]) == my_iter_state, ex4
+
     # 5. Hybrid ICI x DCN mesh (parallel/mesh.create_hybrid_mesh):
     # slice auto-discovery groups devices by process -> 2 simulated
     # slices x 4 devices; a global-batch train step over the hybrid

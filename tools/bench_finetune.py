@@ -360,8 +360,9 @@ def main():
     dense = measure(args, "xla_dense")
     if args.engine == "dense":
         return
+    size = ("large_" if getattr(args, "large", False) else "")
     print(json.dumps({
-        "metric": f"finetune_{args.task}_{args.input_size}px_pallas_speedup",
+        "metric": f"finetune_{args.task}_{args.input_size}px_{size}pallas_speedup",
         "value": round(pallas / dense, 4),
         "unit": "x",
     }))
